@@ -1,0 +1,126 @@
+"""Character model tests: structure, round trips, golden FK parity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.data.humanoid import humanoid_spec
+
+
+@pytest.fixture(scope="module")
+def model():
+    return humanoid_spec().build()
+
+
+def test_structure(model):
+    assert model.num_bodies == 15
+    assert model.dof_size == 28
+    assert model.body_names[0] == "pelvis"
+    # 8 spherical + 4 hinge + 2 fixed + root
+    types = list(model.joint_types)
+    assert types.count(cm.SPHERICAL) == 8
+    assert types.count(cm.HINGE) == 4
+    assert types.count(cm.FIXED) == 2
+    assert types.count(cm.ROOT) == 1
+    total_mass = float(jnp.sum(model.body_mass))
+    assert 30.0 < total_mass < 70.0, total_mass
+
+
+def test_dof_rot_round_trip(model):
+    rng = np.random.default_rng(0)
+    dof = jnp.asarray(rng.uniform(-0.9, 0.9, size=(32, 28)).astype(np.float32))
+    jr = cm.dof_to_rot(model, dof)
+    assert jr.shape == (32, 14, 4)
+    dof2 = cm.rot_to_dof(model, jr)
+    np.testing.assert_allclose(np.asarray(dof2), np.asarray(dof), atol=1e-4)
+
+
+def test_fk_shapes_and_root(model):
+    rng = np.random.default_rng(1)
+    dof = jnp.asarray(rng.uniform(-0.5, 0.5, size=(8, 28)).astype(np.float32))
+    root_pos = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    root_rot = jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (8, 1))
+    jr = cm.dof_to_rot(model, dof)
+    pos, rot_ = cm.forward_kinematics(model, root_pos, root_rot, jr)
+    assert pos.shape == (8, 15, 3)
+    assert rot_.shape == (8, 15, 4)
+    np.testing.assert_allclose(np.asarray(pos[:, 0]), np.asarray(root_pos), atol=1e-6)
+
+
+def _load_reference_model(reference_root):
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+    if "trimesh" not in sys.modules:
+        sys.modules["trimesh"] = types.ModuleType("trimesh")
+    if str(reference_root) not in sys.path:
+        sys.path.insert(0, str(reference_root))
+    from anim import kin_char_model as ref_cm  # noqa: E501
+
+    ref = ref_cm.KinCharModel("cpu")
+    ref.load_char_file(str(reference_root / "data" / "assets" / "humanoid.xml"))
+    return torch, ref
+
+
+def test_golden_fk_vs_reference(reference_root, model):
+    torch, ref = _load_reference_model(reference_root)
+    rng = np.random.default_rng(2)
+    dof = rng.uniform(-0.8, 0.8, size=(16, 28)).astype(np.float32)
+    root_pos = rng.normal(size=(16, 3)).astype(np.float32)
+    root_em = (0.3 * rng.normal(size=(16, 3))).astype(np.float32)
+
+    from parc_tpu.utils import rotation as rot
+    root_rot_j = rot.exp_map_to_quat(jnp.asarray(root_em))
+
+    t_dof = torch.from_numpy(dof)
+    ref_jr = ref.dof_to_rot(t_dof)
+    import util.torch_util as ref_tu
+    ref_rr = ref_tu.exp_map_to_quat(torch.from_numpy(root_em))
+    ref_pos, ref_rot = ref.forward_kinematics(
+        torch.from_numpy(root_pos), ref_rr, ref_jr)
+
+    jr = cm.dof_to_rot(model, jnp.asarray(dof))
+    # joint rotations identical (up to sign)
+    dots = np.abs(np.sum(np.asarray(jr) * ref_jr.numpy(), axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+    pos, rot_w = cm.forward_kinematics(
+        model, jnp.asarray(root_pos), root_rot_j, jr)
+    np.testing.assert_allclose(np.asarray(pos), ref_pos.numpy(), atol=1e-4)
+    dots = np.abs(np.sum(np.asarray(rot_w) * ref_rot.numpy(), axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+
+def test_golden_dof_vel_vs_reference(reference_root, model):
+    torch, ref = _load_reference_model(reference_root)
+    rng = np.random.default_rng(3)
+    dof0 = rng.uniform(-0.5, 0.5, size=(8, 28)).astype(np.float32)
+    dof1 = (dof0 + 0.05 * rng.normal(size=(8, 28))).astype(np.float32)
+    dt = 1.0 / 30.0
+
+    jr0_ref = ref.dof_to_rot(torch.from_numpy(dof0))
+    jr1_ref = ref.dof_to_rot(torch.from_numpy(dof1))
+    ref_vel = ref.compute_dof_vel(jr0_ref, jr1_ref, dt)
+
+    jr0 = cm.dof_to_rot(model, jnp.asarray(dof0))
+    jr1 = cm.dof_to_rot(model, jnp.asarray(dof1))
+    vel = cm.compute_dof_vel(model, jr0, jr1, dt)
+    np.testing.assert_allclose(np.asarray(vel), ref_vel.numpy(), atol=1e-3)
+
+
+def test_mjcf_parse_matches_spec(reference_root, model):
+    parsed = cm.load_char_file(
+        str(reference_root / "data" / "assets" / "humanoid.xml"))
+    assert parsed.body_names == model.body_names
+    assert parsed.parent_indices == model.parent_indices
+    assert parsed.joint_types == model.joint_types
+    np.testing.assert_allclose(np.asarray(parsed.local_translation),
+                               np.asarray(model.local_translation), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(parsed.dof_limits_lower),
+                               np.asarray(model.dof_limits_lower), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(parsed.dof_motor_effort),
+                               np.asarray(model.dof_motor_effort), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(parsed.body_mass),
+                               np.asarray(model.body_mass), rtol=1e-5)
