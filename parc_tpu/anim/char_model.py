@@ -205,6 +205,14 @@ class CharModel:
     contact_point_offset: jax.Array  # (P, 3) body-frame offsets
     contact_point_radius: jax.Array  # (P,)
 
+    # --- dof <-> per-joint exp-map mapping ---------------------------------
+    # dof_map[j] maps the D-dof vector to joint j+1's local exp-map/angular
+    # rate: spherical -> identity block, hinge -> axis column.  Because a
+    # hinge rotation equals exp(axis * theta), this one static tensor makes
+    # dof_to_rot / rot_to_dof / dof velocities / PD errors single fused
+    # einsum+quat ops with no per-joint scatters.
+    dof_map: jax.Array              # (J-1, 3, D)
+
     # ------------------------------------------------------------------
     @property
     def num_joints(self) -> int:
@@ -276,6 +284,16 @@ def build_char_model(spec: CharModelSpec, dtype=jnp.float32) -> CharModel:
         com[i] = m_com
         inertia[i] = m_i
 
+    dof_map = np.zeros((n - 1, 3, dof_size))
+    for j in range(1, n):
+        b = bodies[j]
+        o = dof_offsets[j]
+        if b.joint.joint_type == SPHERICAL:
+            dof_map[j - 1, :, o:o + 3] = np.eye(3)
+        elif b.joint.joint_type == HINGE:
+            axis = np.asarray(b.joint.axis, np.float64)
+            dof_map[j - 1, :, o] = axis / np.linalg.norm(axis)
+
     return CharModel(
         body_names=tuple(b.name for b in bodies),
         joint_names=tuple(b.joint.name for b in bodies),
@@ -299,6 +317,7 @@ def build_char_model(spec: CharModelSpec, dtype=jnp.float32) -> CharModel:
         contact_point_body=jnp.asarray(cp_body, jnp.int32),
         contact_point_offset=jnp.asarray(np.asarray(cp_off), dtype),
         contact_point_radius=jnp.asarray(np.asarray(cp_rad), dtype),
+        dof_map=jnp.asarray(dof_map, dtype),
     )
 
 
@@ -438,39 +457,31 @@ def load_char_file(path: str) -> CharModel:
 # ---------------------------------------------------------------------------
 
 
+def joint_exp_maps(model: CharModel, dof: jax.Array) -> jax.Array:
+    """(..., D) dof vector -> (..., J-1, 3) per-joint exp-maps."""
+    # tiny but precision-critical contraction: keep it out of bf16
+    return jnp.einsum("jkd,...d->...jk", model.dof_map, dof,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def project_to_dof(model: CharModel, per_joint: jax.Array) -> jax.Array:
+    """(..., J-1, 3) per-joint exp-maps/rates -> (..., D) dof vector."""
+    return jnp.einsum("jkd,...jk->...d", model.dof_map, per_joint,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def dof_to_rot(model: CharModel, dof: jax.Array) -> jax.Array:
-    """(..., D) dof vector -> (..., J-1, 4) joint quaternions."""
-    rots = []
-    for j in range(1, model.num_bodies):
-        jt = model.joint_types[j]
-        o = model.dof_offsets[j]
-        if jt == HINGE:
-            axis = jnp.broadcast_to(model.joint_axes[j], dof.shape[:-1] + (3,))
-            q = rot.axis_angle_to_quat(axis, dof[..., o])
-        elif jt == SPHERICAL:
-            q = rot.exp_map_to_quat(dof[..., o:o + 3])
-        else:  # FIXED
-            q = jnp.zeros(dof.shape[:-1] + (4,), dof.dtype).at[..., 3].set(1.0)
-        rots.append(q)
-    return jnp.stack(rots, axis=-2)
+    """(..., D) dof vector -> (..., J-1, 4) joint quaternions.
+
+    Hinge rotations equal exp(axis * theta), so one fused exp-map covers
+    hinge, spherical, and fixed (zero exp-map -> identity) joints.
+    """
+    return rot.exp_map_to_quat(joint_exp_maps(model, dof))
 
 
 def rot_to_dof(model: CharModel, joint_rot: jax.Array) -> jax.Array:
     """(..., J-1, 4) joint quaternions -> (..., D) dof vector."""
-    batch = joint_rot.shape[:-2]
-    dof = jnp.zeros(batch + (model.dof_size,), joint_rot.dtype)
-    for j in range(1, model.num_bodies):
-        jt = model.joint_types[j]
-        o = model.dof_offsets[j]
-        q = joint_rot[..., j - 1, :]
-        if jt == HINGE:
-            axis, angle = rot.quat_to_axis_angle(q)
-            sign = jnp.sign(jnp.sum(model.joint_axes[j] * axis, axis=-1))
-            sign = jnp.where(sign == 0, 1.0, sign)
-            dof = dof.at[..., o].set(sign * angle)
-        elif jt == SPHERICAL:
-            dof = dof.at[..., o:o + 3].set(rot.quat_to_exp_map(q))
-    return dof
+    return project_to_dof(model, rot.quat_to_exp_map(joint_rot))
 
 
 def forward_kinematics(model: CharModel, root_pos: jax.Array,
@@ -505,18 +516,7 @@ def compute_dof_vel(model: CharModel, joint_rot0: jax.Array,
     """Finite-difference dof velocities between two joint rotation frames."""
     drot = rot.quat_normalize(
         rot.quat_mul(rot.quat_conjugate(joint_rot0), joint_rot1))
-    em = rot.quat_to_exp_map(drot) / dt
-    batch = joint_rot0.shape[:-2]
-    dof_vel = jnp.zeros(batch + (model.dof_size,), joint_rot0.dtype)
-    for j in range(1, model.num_bodies):
-        jt = model.joint_types[j]
-        o = model.dof_offsets[j]
-        if jt == HINGE:
-            w = jnp.sum(model.joint_axes[j] * em[..., j - 1, :], axis=-1)
-            dof_vel = dof_vel.at[..., o].set(w)
-        elif jt == SPHERICAL:
-            dof_vel = dof_vel.at[..., o:o + 3].set(em[..., j - 1, :])
-    return dof_vel
+    return project_to_dof(model, rot.quat_to_exp_map(drot) / dt)
 
 
 def compute_frame_dof_vel(model: CharModel, joint_rot: jax.Array, dt) -> jax.Array:
@@ -540,20 +540,13 @@ def body_vel_from_dof_vel(model: CharModel, body_rot: jax.Array,
     body's world angular velocity is its parent's plus the joint rate rotated
     into world via the body's own frame.
     """
+    w_locals = joint_exp_maps(model, dof_vel)  # (..., J-1, 3)
+    w_worlds = rot.quat_rotate(body_rot[..., 1:, :], w_locals)
     ang = [root_ang_vel]
     lin = [root_vel]
     for j in range(1, model.num_bodies):
         parent = model.parent_indices[j]
-        jt = model.joint_types[j]
-        o = model.dof_offsets[j]
-        if jt == HINGE:
-            w_local = model.joint_axes[j] * dof_vel[..., o:o + 1]
-        elif jt == SPHERICAL:
-            w_local = dof_vel[..., o:o + 3]
-        else:
-            w_local = jnp.zeros_like(root_ang_vel)
-        w_world = rot.quat_rotate(body_rot[..., j, :], w_local)
-        w = ang[parent] + w_world
+        w = ang[parent] + w_worlds[..., j - 1, :]
         r = body_pos[..., j, :] - body_pos[..., parent, :]
         v = lin[parent] + jnp.cross(ang[parent], r)
         ang.append(w)

@@ -1,0 +1,476 @@
+"""TPU-native articulated rigid-body engine.
+
+This is the subsystem that replaces Isaac Gym's PhysX backend in the
+reference stack (reference: envs/ig_env.py:100-164 consumes the native
+engine; SURVEY §2.9 inventories the API surface).  Design choices are
+TPU-first rather than a port:
+
+* **Generalized coordinates + Featherstone ABA** over the 15-body humanoid
+  tree, formulated in world axes at per-body origins so transports are pure
+  translations.  The body loop unrolls (15 iterations) under ``jit`` and
+  every arithmetic op is batched over environments — a single SPMD program
+  steps 4096 humanoids.
+* **Implicit stable-PD actuation** (Liu et al. SPD): the PD drive's
+  stiffness/damping enter the articulated-inertia diagonal, making kp=1000
+  joint drives unconditionally stable at 1/120 s — no tiny CFL-bound
+  substeps, no NCCL-style host loops.  This mirrors PhysX's implicit joint
+  drives (reference 'pd' control mode, envs/ig_char_env.py:20-25) while the
+  explicit-torque path (reference 'pd_exp', envs/ig_char_env.py:399-420) is
+  also provided.
+* **Direct heightfield contact**: character contact points collide against
+  the ``Terrain`` grid (bilinear surface + analytic normals) with a
+  regularized Coulomb penalty — no trimesh voxelization (that exists in the
+  reference only because PhysX wants meshes).
+* **Masked resets**: resetting a subset of envs is a ``jnp.where`` on the
+  state pytree (replaces ``set_*_tensor_indexed``), so resets live inside
+  the jitted rollout.
+
+State layout parity: root state is (pos, quat, lin vel, ang vel) = 13-D as
+in Isaac Gym's root-state tensor; dof state is (dof_pos via exp-map, dof
+vel); per-body net contact forces are tracked for reward/done kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.physics import spatial as sp
+from parc_tpu.utils import rotation as rot
+from parc_tpu.utils import terrain as terrain_lib
+
+
+@struct.dataclass
+class SimParams:
+    """Simulation parameters (defaults match the reference's operating point:
+    60 Hz sim, 2 integrator substeps, reference: PARC/tracker_config sim:)."""
+
+    dt: float = struct.field(pytree_node=False, default=1.0 / 60.0)
+    substeps: int = struct.field(pytree_node=False, default=2)
+    control_mode: str = struct.field(pytree_node=False, default="pd_implicit")
+    # contact
+    contact_stiffness: float = 8000.0
+    contact_damping: float = 300.0
+    friction: float = 1.0
+    slip_vel: float = 0.1
+    # joint limits
+    limit_stiffness: float = 200.0
+    limit_damping: float = 5.0
+    gravity: float = -9.81
+    # torque limit scaling on the explicit PD term
+    torque_limit_scale: float = 1.0
+
+
+@struct.dataclass
+class SimState:
+    """Batched simulator state; leading dims are environment dims."""
+
+    root_pos: jax.Array      # (..., 3)
+    root_rot: jax.Array      # (..., 4) xyzw
+    root_vel: jax.Array      # (..., 3) world
+    root_ang_vel: jax.Array  # (..., 3) world
+    joint_rot: jax.Array     # (..., J-1, 4)
+    dof_vel: jax.Array       # (..., D) local joint-frame rates
+    # caches refreshed by refresh_kinematics
+    body_pos: jax.Array      # (..., J, 3)
+    body_rot: jax.Array      # (..., J, 4)
+    body_vel: jax.Array      # (..., J, 3)
+    body_ang_vel: jax.Array  # (..., J, 3)
+    contact_forces: jax.Array  # (..., J, 3) net world contact force per body
+
+
+def create_state(model: cm.CharModel, root_pos, root_rot, joint_rot,
+                 root_vel=None, root_ang_vel=None, dof_vel=None) -> SimState:
+    batch = root_pos.shape[:-1]
+    z3 = jnp.zeros(batch + (3,), root_pos.dtype)
+    state = SimState(
+        root_pos=root_pos,
+        root_rot=root_rot,
+        root_vel=z3 if root_vel is None else root_vel,
+        root_ang_vel=z3 if root_ang_vel is None else root_ang_vel,
+        joint_rot=joint_rot,
+        dof_vel=(jnp.zeros(batch + (model.dof_size,), root_pos.dtype)
+                 if dof_vel is None else dof_vel),
+        body_pos=jnp.zeros(batch + (model.num_bodies, 3), root_pos.dtype),
+        body_rot=jnp.zeros(batch + (model.num_bodies, 4), root_pos.dtype),
+        body_vel=jnp.zeros(batch + (model.num_bodies, 3), root_pos.dtype),
+        body_ang_vel=jnp.zeros(batch + (model.num_bodies, 3), root_pos.dtype),
+        contact_forces=jnp.zeros(batch + (model.num_bodies, 3), root_pos.dtype),
+    )
+    return refresh_kinematics(model, state)
+
+
+def refresh_kinematics(model: cm.CharModel, state: SimState) -> SimState:
+    body_pos, body_rot = cm.forward_kinematics(
+        model, state.root_pos, state.root_rot, state.joint_rot)
+    body_vel, body_ang_vel = cm.body_vel_from_dof_vel(
+        model, body_rot, state.root_vel, state.root_ang_vel, body_pos,
+        state.dof_vel)
+    return state.replace(body_pos=body_pos, body_rot=body_rot,
+                         body_vel=body_vel, body_ang_vel=body_ang_vel)
+
+
+# ---------------------------------------------------------------------------
+# Contact
+# ---------------------------------------------------------------------------
+
+
+def _hf_height_and_normal(terrain: terrain_lib.Terrain, xy: jax.Array):
+    """Bilinear surface height and unit normal at world xy points."""
+    uv = (xy - terrain.min_point) / terrain.dxdy
+    dims = jnp.asarray(terrain.hf.shape)
+    uv = jnp.clip(uv, 0.0, (dims - 1).astype(uv.dtype))
+    i0 = jnp.floor(uv).astype(jnp.int32)
+    i0 = jnp.minimum(i0, dims - 2)
+    i1 = i0 + 1
+    f = uv - i0
+    h00 = terrain.hf[i0[..., 0], i0[..., 1]]
+    h10 = terrain.hf[i1[..., 0], i0[..., 1]]
+    h01 = terrain.hf[i0[..., 0], i1[..., 1]]
+    h11 = terrain.hf[i1[..., 0], i1[..., 1]]
+    fx, fy = f[..., 0], f[..., 1]
+    h = ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
+         + (1 - fx) * fy * h01 + fx * fy * h11)
+    dhdx = ((1 - fy) * (h10 - h00) + fy * (h11 - h01)) / terrain.dxdy[0]
+    dhdy = ((1 - fx) * (h01 - h00) + fx * (h11 - h10)) / terrain.dxdy[1]
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return h, n
+
+
+def compute_contact_forces(model: cm.CharModel, params: SimParams,
+                           terrain: terrain_lib.Terrain, state: SimState):
+    """Penalty contact of character points against the heightfield.
+
+    Returns (f_ext (..., J, 6) spatial forces at body origins,
+             net_force (..., J, 3) per-body world contact force).
+    """
+    bidx = model.contact_point_body  # (P,) static
+    offs = model.contact_point_offset  # (P, 3)
+    rad = model.contact_point_radius  # (P,)
+
+    bpos = state.body_pos[..., bidx, :]       # (..., P, 3)
+    brot = state.body_rot[..., bidx, :]
+    bvel = state.body_vel[..., bidx, :]
+    bang = state.body_ang_vel[..., bidx, :]
+
+    x = bpos + rot.quat_rotate(brot, jnp.broadcast_to(offs, bpos.shape))
+    v = bvel + jnp.cross(bang, x - bpos)
+
+    h, n = _hf_height_and_normal(terrain, x[..., 0:2])
+    slope_cos = n[..., 2]
+    phi = (x[..., 2] - rad - h) * slope_cos  # approx signed distance
+    phi_dot = jnp.sum(n * v, axis=-1)
+
+    in_contact = phi < 0.0
+    fn_mag = jnp.maximum(
+        -params.contact_stiffness * phi - params.contact_damping * phi_dot, 0.0)
+    fn_mag = jnp.where(in_contact, fn_mag, 0.0)
+
+    vt = v - n * phi_dot[..., None]
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + params.slip_vel**2 * 1e-4)
+    # regularized Coulomb: full friction once |vt| >> slip_vel
+    ft_scale = params.friction * fn_mag * jnp.minimum(
+        vt_norm / params.slip_vel, 1.0)
+    force = n * fn_mag[..., None] - vt / vt_norm[..., None] * ft_scale[..., None]
+
+    # aggregate per body with a static one-hot matmul (TPU-friendly scatter)
+    num_bodies = model.num_bodies
+    onehot = jax.nn.one_hot(bidx, num_bodies, dtype=force.dtype)  # (P, J)
+    net_force = jnp.einsum("pj,...pc->...jc", onehot, force)
+    torque = jnp.cross(x - state.body_pos[..., bidx, :], force)
+    # moment about each body origin: (x - o_b) x F
+    net_torque = jnp.einsum("pj,...pc->...jc", onehot, torque)
+    f_ext = jnp.concatenate([net_torque, net_force], axis=-1)
+    return f_ext, net_force
+
+
+# ---------------------------------------------------------------------------
+# PD actuation
+# ---------------------------------------------------------------------------
+
+
+def pd_errors(model: cm.CharModel, state: SimState,
+              pd_target_dof: jax.Array) -> jax.Array:
+    """Per-dof position error to the PD target: exp-map of the relative
+    rotation from current to target joint orientation, projected to dofs.
+
+    Matches the reference's exp-map orientation-error torque path
+    (reference: envs/ig_char_env.py:399-420).
+    """
+    q_tar = cm.dof_to_rot(model, pd_target_dof)
+    diff = rot.quat_mul(rot.quat_conjugate(state.joint_rot), q_tar)
+    return cm.project_to_dof(model, rot.quat_to_exp_map(diff))
+
+
+def dof_pos_from_state(model: cm.CharModel, state: SimState) -> jax.Array:
+    return cm.rot_to_dof(model, state.joint_rot)
+
+
+def compute_joint_torques(model: cm.CharModel, params: SimParams,
+                          state: SimState, pd_target_dof: jax.Array,
+                          dt: float):
+    """Explicit torque + implicit per-dof diagonal for the ABA solve."""
+    err = pd_errors(model, state, pd_target_dof)
+    kp = model.dof_stiffness
+    kd = model.dof_damping
+    effort = model.dof_motor_effort * params.torque_limit_scale
+
+    if params.control_mode == "pd_exp":
+        tau = kp * err - kd * state.dof_vel
+        tau = jnp.clip(tau, -effort, effort)
+        d_extra = jnp.zeros_like(tau)
+    else:  # pd_implicit (SPD)
+        kd_eff = kd + dt * kp
+        tau = kp * err - kd_eff * state.dof_vel
+        tau = jnp.clip(tau, -effort, effort)
+        d_extra = jnp.broadcast_to(dt * kd_eff, tau.shape)
+
+    # joint-limit penalty springs
+    dof_pos = dof_pos_from_state(model, state)
+    over = jnp.maximum(dof_pos - model.dof_limits_upper, 0.0)
+    under = jnp.maximum(model.dof_limits_lower - dof_pos, 0.0)
+    viol = (over > 0) | (under > 0)
+    tau_lim = (-params.limit_stiffness * (over - under)
+               - params.limit_damping * jnp.where(viol, state.dof_vel, 0.0))
+    return tau + tau_lim, d_extra
+
+
+# ---------------------------------------------------------------------------
+# Featherstone ABA (world-axis, body-origin frames)
+# ---------------------------------------------------------------------------
+
+
+def _inv3(m: jax.Array) -> jax.Array:
+    """Closed-form batched 3x3 inverse (avoids the generic LU path, which
+    bloats the compiled program and is slower for tiny matrices)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([co_a, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([co_b, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([co_c, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
+def aba(model: cm.CharModel, params: SimParams, state: SimState,
+        tau: jax.Array, d_extra: jax.Array, f_ext: jax.Array, dt: float):
+    """Articulated-body forward dynamics.
+
+    Args:
+      tau: (..., D) explicit joint-space torques.
+      d_extra: (..., D) implicit diagonal (SPD/damping) added to each
+        joint's D matrix, pre-multiplied by dt.
+      f_ext: (..., J, 6) external spatial forces at body origins.
+
+    Returns:
+      root_acc (..., 6) spatial (ang; lin) root acceleration, qdd (..., D).
+    """
+    nb = model.num_bodies
+    batch = state.root_pos.shape[:-1]
+    dtype = state.root_pos.dtype
+
+    body_r = [rot.quat_to_matrix(state.body_rot[..., j, :]) for j in range(nb)]
+
+    # spatial velocity per body at its own origin (world axes)
+    v = [None] * nb
+    v[0] = sp.motion(state.root_ang_vel, state.root_vel)
+    vj = [None] * nb  # joint velocity contribution
+    s_mats = [None] * nb  # (..., 6, d) motion subspaces
+    c_bias = [None] * nb
+    for j in range(1, nb):
+        parent = model.parent_indices[j]
+        jt = model.joint_types[j]
+        o = model.dof_offsets[j]
+        r = state.body_pos[..., j, :] - state.body_pos[..., parent, :]
+        v_p = sp.shift_motion(v[parent], r)
+        if jt == cm.SPHERICAL:
+            s_ang = body_r[j]  # (..., 3, 3): child-frame rates -> world
+            s = jnp.concatenate([s_ang, jnp.zeros_like(s_ang)], axis=-2)
+            qd = state.dof_vel[..., o:o + 3]
+            w_world = jnp.einsum("...ij,...j->...i", s_ang, qd)
+            vj_j = sp.motion(w_world, jnp.zeros_like(w_world))
+        elif jt == cm.HINGE:
+            axis_w = jnp.einsum("...ij,j->...i", body_r[j], model.joint_axes[j])
+            s = jnp.concatenate([axis_w, jnp.zeros_like(axis_w)],
+                                axis=-1)[..., None]
+            qd = state.dof_vel[..., o:o + 1]
+            vj_j = sp.motion(axis_w * qd, jnp.zeros_like(axis_w))
+        else:  # FIXED
+            s = None
+            vj_j = jnp.zeros(batch + (6,), dtype)
+        v[j] = v_p + vj_j
+        vj[j] = vj_j
+        s_mats[j] = s
+        c_bias[j] = sp.cross_motion(v[j], vj_j)
+
+    # spatial inertia (world axes, at body origin) + velocity bias forces
+    ia = [None] * nb
+    pa = [None] * nb
+    for j in range(nb):
+        com_w = jnp.einsum("...ij,...j->...i",
+                           body_r[j],
+                           jnp.broadcast_to(model.body_com[j], batch + (3,)))
+        inertia_w = body_r[j] @ model.body_inertia[j] @ body_r[j].swapaxes(-1, -2)
+        ia[j] = sp.spatial_inertia(
+            jnp.broadcast_to(model.body_mass[j], batch), com_w, inertia_w)
+        iv = jnp.einsum("...ij,...j->...i", ia[j], v[j])
+        pa[j] = sp.cross_force(v[j], iv) - f_ext[..., j, :]
+
+    # inward pass
+    u_list = [None] * nb
+    d_inv = [None] * nb
+    uu = [None] * nb
+    for j in range(nb - 1, 0, -1):
+        parent = model.parent_indices[j]
+        jt = model.joint_types[j]
+        o = model.dof_offsets[j]
+        r = state.body_pos[..., j, :] - state.body_pos[..., parent, :]
+        if jt == cm.FIXED:
+            ia_shift = sp.shift_inertia(ia[j], r)
+            pa_shift = sp.shift_force(
+                pa[j] + jnp.einsum("...ij,...j->...i", ia[j], c_bias[j]), r)
+            ia[parent] = ia[parent] + ia_shift
+            pa[parent] = pa[parent] + pa_shift
+            continue
+        s = s_mats[j]
+        d = model.joint_dof_slice(j)[1] - o
+        u = ia[j] @ s  # (..., 6, d)
+        dmat = s.swapaxes(-1, -2) @ u  # (..., d, d)
+        arm = model.dof_armature[o:o + d] + d_extra[..., o:o + d]
+        dmat = dmat + arm[..., None] * jnp.eye(d, dtype=dtype)
+        tau_j = tau[..., o:o + d]
+        u_bias = tau_j - jnp.einsum("...ji,...j->...i",
+                                    s, pa[j])  # (..., d): tau - S^T pA
+        if d == 1:
+            dinv = 1.0 / dmat[..., 0, 0]
+            ud = u * dinv[..., None, None]
+        else:
+            dinv = _inv3(dmat)
+            ud = u @ dinv
+        ia_art = ia[j] - ud @ u.swapaxes(-1, -2)
+        if d == 1:
+            corr = ud[..., 0] * u_bias
+        else:
+            corr = jnp.einsum("...ij,...j->...i", ud, u_bias)
+        pa_art = (pa[j]
+                  + jnp.einsum("...ij,...j->...i", ia_art, c_bias[j])
+                  + corr)
+        ia[parent] = ia[parent] + sp.shift_inertia(ia_art, r)
+        pa[parent] = pa[parent] + sp.shift_force(pa_art, r)
+        u_list[j] = u
+        d_inv[j] = dinv
+        uu[j] = u_bias
+
+    # root solve (free joint, gravity via fictitious base acceleration)
+    a_base = jnp.zeros(batch + (6,), dtype).at[..., 5].set(-params.gravity)
+    rhs = -(pa[0] + jnp.einsum("...ij,...j->...i", ia[0], a_base))
+    root_acc = jnp.linalg.solve(
+        ia[0] + 1e-6 * jnp.eye(6, dtype=dtype), rhs[..., None])[..., 0]
+
+    # outward pass
+    a = [None] * nb
+    a[0] = a_base + root_acc
+    qdd = jnp.zeros(batch + (model.dof_size,), dtype)
+    for j in range(1, nb):
+        parent = model.parent_indices[j]
+        jt = model.joint_types[j]
+        o = model.dof_offsets[j]
+        r = state.body_pos[..., j, :] - state.body_pos[..., parent, :]
+        a_p = sp.shift_motion(a[parent], r) + c_bias[j]
+        if jt == cm.FIXED:
+            a[j] = a_p
+            continue
+        s = s_mats[j]
+        d = model.joint_dof_slice(j)[1] - o
+        ua = jnp.einsum("...ij,...i->...j", u_list[j], a_p)  # U^T a'
+        if d == 1:
+            qdd_j = d_inv[j][..., None] * (uu[j] - ua)
+        else:
+            qdd_j = jnp.einsum("...ij,...j->...i", d_inv[j], uu[j] - ua)
+        qdd = qdd.at[..., o:o + d].set(qdd_j)
+        a[j] = a_p + jnp.einsum("...ij,...j->...i", s, qdd_j)
+
+    return root_acc, qdd
+
+
+# ---------------------------------------------------------------------------
+# Integration + stepping
+# ---------------------------------------------------------------------------
+
+
+def integrate(model: cm.CharModel, state: SimState, root_acc: jax.Array,
+              qdd: jax.Array, dt: float) -> SimState:
+    """Semi-implicit Euler in generalized coordinates."""
+    ang_new = state.root_ang_vel + dt * root_acc[..., 0:3]
+    # spatial -> conventional acceleration of the root-origin particle
+    lin_acc = root_acc[..., 3:6] + jnp.cross(state.root_ang_vel, state.root_vel)
+    vel_new = state.root_vel + dt * lin_acc
+    dof_vel_new = state.dof_vel + dt * qdd
+
+    root_pos = state.root_pos + dt * vel_new
+    root_rot = rot.quat_normalize(
+        rot.quat_mul(rot.exp_map_to_quat(ang_new * dt), state.root_rot))
+
+    w_locals = cm.joint_exp_maps(model, dof_vel_new)  # (..., J-1, 3)
+    dq = rot.exp_map_to_quat(w_locals * dt)
+    joint_rot = rot.quat_normalize(rot.quat_mul(state.joint_rot, dq))
+
+    state = state.replace(root_pos=root_pos, root_rot=root_rot,
+                          root_vel=vel_new, root_ang_vel=ang_new,
+                          joint_rot=joint_rot, dof_vel=dof_vel_new)
+    return refresh_kinematics(model, state)
+
+
+def sim_step(model: cm.CharModel, params: SimParams,
+             terrain: terrain_lib.Terrain, state: SimState,
+             pd_target_dof: jax.Array) -> SimState:
+    """One 60 Hz sim step = ``substeps`` integrator substeps with torque and
+    contact recomputed each substep (reference: envs/ig_env.py:827-848)."""
+    h = params.dt / params.substeps
+
+    def substep(carry, _):
+        st, net_accum = carry
+        tau, d_extra = compute_joint_torques(model, params, st,
+                                             pd_target_dof, h)
+        f_ext, net = compute_contact_forces(model, params, terrain, st)
+        root_acc, qdd = aba(model, params, st, tau, d_extra, f_ext, h)
+        st = integrate(model, st, root_acc, qdd, h)
+        return (st, net_accum + net), None
+
+    (state, net_accum), _ = jax.lax.scan(
+        substep, (state, jnp.zeros_like(state.contact_forces)), None,
+        length=params.substeps)
+    return state.replace(contact_forces=net_accum / params.substeps)
+
+
+def control_step(model: cm.CharModel, params: SimParams,
+                 terrain: terrain_lib.Terrain, state: SimState,
+                 pd_target_dof: jax.Array,
+                 sim_steps: int = 2) -> SimState:
+    """One 30 Hz control step = ``sim_steps`` x 60 Hz sim steps holding the
+    same PD target (reference: 60 Hz sim / 30 Hz control)."""
+    def body(st, _):
+        return sim_step(model, params, terrain, st, pd_target_dof), None
+
+    state, _ = jax.lax.scan(body, state, None, length=sim_steps)
+    return state
+
+
+def where_state(mask: jax.Array, a: SimState, b: SimState) -> SimState:
+    """Select per-env between two states (masked reset primitive)."""
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        return jnp.where(m, x, y)
+    return jax.tree.map(sel, a, b)

@@ -1,0 +1,505 @@
+"""Heightfield terrain for TPU.
+
+Device side: a ``Terrain`` pytree (static-shape heightfield grid + mask +
+augmentation bounds) with pure-JAX lookups, sampling, and SDF queries — the
+geometry the physics backend collides against directly (the reference only
+voxelizes heightfields into trimeshes because PhysX consumes meshes;
+reference: util/terrain_util.py:1099-1251).
+
+Host side: numpy procedural generation (boxes / stairs / curvy paths /
+perlin) mirroring the reference generators (reference:
+util/terrain_util.py:320-1097), used by the kinematic-generation pipeline.
+
+Grid conventions (parity with reference util/terrain_util.py:21-258):
+* ``hf[i, j]`` is the height of the cell whose *center* is at
+  ``min_point + (i, j) * dxdy``; points map to cells by rounding.
+* ``hf_mask`` marks cells protected from augmentation (touched by a motion).
+* ``hf_maxmin[..., 0] / [..., 1]`` are per-cell max/min allowed heights for
+  augmentation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Terrain:
+    hf: jax.Array          # (H, W) float heights
+    hf_mask: jax.Array     # (H, W) bool
+    hf_maxmin: jax.Array   # (H, W, 2) max/min augmentation heights
+    min_point: jax.Array   # (2,) world xy of cell (0, 0) center
+    dxdy: jax.Array        # (2,) cell size
+
+    @property
+    def dims(self) -> Tuple[int, int]:
+        return self.hf.shape[-2], self.hf.shape[-1]
+
+    @property
+    def max_point(self) -> jax.Array:
+        dims = jnp.asarray(self.dims, self.min_point.dtype)
+        return self.min_point + (dims - 1) * self.dxdy
+
+
+def create_terrain(x_dim: int = 16, y_dim: int = 16, dx: float = 0.4,
+                   dy: Optional[float] = None, min_x: float = 0.0,
+                   min_y: float = 0.0, height: float = 0.0,
+                   dtype=jnp.float32) -> Terrain:
+    dy = dx if dy is None else dy
+    return Terrain(
+        hf=jnp.full((x_dim, y_dim), height, dtype),
+        hf_mask=jnp.zeros((x_dim, y_dim), bool),
+        hf_maxmin=jnp.stack(
+            [jnp.full((x_dim, y_dim), height + 3.0, dtype),
+             jnp.full((x_dim, y_dim), height - 3.0, dtype)], axis=-1),
+        min_point=jnp.asarray([min_x, min_y], dtype),
+        dxdy=jnp.asarray([dx, dy], dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lookups (pure JAX)
+# ---------------------------------------------------------------------------
+
+
+def get_grid_index(terrain: Terrain, points_xy: jax.Array) -> jax.Array:
+    """Nearest-cell indices for world xy points, clamped in-bounds."""
+    inds = jnp.round((points_xy - terrain.min_point) / terrain.dxdy)
+    dims = jnp.asarray(terrain.dims)
+    return jnp.clip(inds.astype(jnp.int32), 0, dims - 1)
+
+
+def get_hf_val(terrain: Terrain, points_xy: jax.Array) -> jax.Array:
+    """Nearest-cell height lookup (matches the reference observation path)."""
+    inds = get_grid_index(terrain, points_xy)
+    return terrain.hf[inds[..., 0], inds[..., 1]]
+
+
+def get_hf_val_bilinear(terrain: Terrain, points_xy: jax.Array) -> jax.Array:
+    """Bilinear height interpolation (smoother contact normals for physics)."""
+    uv = (points_xy - terrain.min_point) / terrain.dxdy
+    dims = jnp.asarray(terrain.dims)
+    uv = jnp.clip(uv, 0.0, (dims - 1).astype(uv.dtype))
+    i0 = jnp.floor(uv).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, dims - 1)
+    f = uv - i0
+    h00 = terrain.hf[i0[..., 0], i0[..., 1]]
+    h10 = terrain.hf[i1[..., 0], i0[..., 1]]
+    h01 = terrain.hf[i0[..., 0], i1[..., 1]]
+    h11 = terrain.hf[i1[..., 0], i1[..., 1]]
+    fx, fy = f[..., 0], f[..., 1]
+    return ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
+            + (1 - fx) * fy * h01 + fx * fy * h11)
+
+
+def get_point(terrain: Terrain, ij: jax.Array) -> jax.Array:
+    """Cell-center world xy from integer grid indices."""
+    return terrain.min_point + ij.astype(terrain.min_point.dtype) * terrain.dxdy
+
+
+def point_hf_penetration(terrain: Terrain, points: jax.Array) -> jax.Array:
+    """z distance above the heightfield cell under each point (<0 = below).
+
+    Reference parity: util/terrain_util.py:1540-1557.
+    """
+    return points[..., 2] - get_hf_val(terrain, points[..., 0:2])
+
+
+# ---------------------------------------------------------------------------
+# Observation sampling
+# ---------------------------------------------------------------------------
+
+
+def local_grid_points(center_xy: jax.Array, heading: jax.Array,
+                      num_x: int, num_y: int, dx: float, dy: float,
+                      center_offset_x: float = 0.0) -> jax.Array:
+    """Heading-rotated regular xy sample grid around a character.
+
+    Returns (..., num_x * num_y, 2) world points. Used for the MDM local
+    31x31 heightfield window and grid-style env observations.
+    """
+    xs = (jnp.arange(num_x) - (num_x - 1) / 2.0) * dx + center_offset_x
+    ys = (jnp.arange(num_y) - (num_y - 1) / 2.0) * dy
+    gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
+    pts = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (P, 2)
+    c, s = jnp.cos(heading)[..., None], jnp.sin(heading)[..., None]
+    rx = c * pts[..., 0] - s * pts[..., 1]
+    ry = s * pts[..., 0] + c * pts[..., 1]
+    return jnp.stack([rx, ry], axis=-1) + center_xy[..., None, :]
+
+
+def cone_ray_points(center_xy: jax.Array, heading: jax.Array,
+                    num_rays_behind: int = 2, num_rays_ahead: int = 60,
+                    num_cone_rays: int = 3, cone_angle: float = 15.0 * np.pi / 180.0,
+                    ray_dx: float = 0.05) -> jax.Array:
+    """Cone-of-rays sample pattern ahead of the character.
+
+    A center line of samples from ``-behind`` to ``+ahead`` along the heading
+    with ``num_cone_rays`` additional rays fanned out on each side
+    (reference: envs/ig_parkour/ig_parkour_env.py:139-155).
+
+    Returns (..., P, 2) world points where
+    ``P = (behind + ahead + 1) * (2 * num_cone_rays + 1)``.
+    """
+    t = jnp.arange(-num_rays_behind, num_rays_ahead + 1) * ray_dx  # (L,)
+    angles = (jnp.arange(-num_cone_rays, num_cone_rays + 1)) * cone_angle  # (R,)
+    ang = heading[..., None, None] + angles[None, :, None]  # (..., R, 1)
+    dist = t[None, None, :]  # broadcast (1, 1, L)
+    px = jnp.cos(ang) * dist
+    py = jnp.sin(ang) * dist
+    pts = jnp.stack([px, py], axis=-1)  # (..., R, L, 2)
+    pts = pts.reshape(pts.shape[:-3] + (-1, 2))
+    return pts + center_xy[..., None, :]
+
+
+def sample_hf_obs(terrain: Terrain, points_xy: jax.Array,
+                  root_pos: jax.Array) -> jax.Array:
+    """Heights at sample points, expressed relative to the root height."""
+    h = get_hf_val(terrain, points_xy)
+    return h - root_pos[..., 2:3]
+
+
+# ---------------------------------------------------------------------------
+# SDF queries
+# ---------------------------------------------------------------------------
+
+
+def points_boxes_sdf(points: jax.Array, box_centers: jax.Array,
+                     box_halfdims: jax.Array) -> jax.Array:
+    """SDF from each point to each axis-aligned box.
+
+    points (..., N, 3), box_centers (..., M, 3), box_halfdims (..., M, 3)
+    -> (..., N, M).
+    """
+    d = jnp.abs(points[..., :, None, :] - box_centers[..., None, :, :]) \
+        - box_halfdims[..., None, :, :]
+    outside = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(d, axis=-1), 0.0)
+    return outside + inside
+
+
+def points_hf_sdf(points: jax.Array, hf: jax.Array, hf_min_point: jax.Array,
+                  dxdy: jax.Array, base_z: float = -10.0,
+                  inverted: bool = True, window: int = 3) -> jax.Array:
+    """SDF from points to a heightfield-of-boxes, local-window accelerated.
+
+    Matches reference semantics (util/terrain_util.py:1835-1893) — each cell
+    is a box column; ``inverted`` treats the air above as the solid to get
+    interior distances — but only evaluates a ``(2*window+1)^2`` neighborhood
+    around each point instead of all H*W boxes, turning an O(N*H*W) kernel
+    into O(N*w^2) with identical results for |sdf| < window*dx.
+
+    points: (N, 3); hf: (H, W). Returns (N,).
+    """
+    dims = jnp.asarray(hf.shape)
+    k = 2 * window + 1
+    ij0 = jnp.round((points[..., 0:2] - hf_min_point) / dxdy).astype(jnp.int32)
+    offs = jnp.stack(jnp.meshgrid(jnp.arange(k) - window,
+                                  jnp.arange(k) - window,
+                                  indexing="ij"), axis=-1).reshape(-1, 2)
+    ij = ij0[..., None, :] + offs  # (N, k*k, 2)
+    ij = jnp.clip(ij, 0, dims - 1)
+    heights = hf[ij[..., 0], ij[..., 1]]  # (N, k*k)
+    centers_xy = hf_min_point + ij.astype(points.dtype) * dxdy
+    if inverted:
+        top_z = -base_z
+        z = (heights + top_z) / 2.0
+        z_half = (top_z - heights) / 2.0
+    else:
+        z = (heights + base_z) / 2.0
+        z_half = (heights - base_z) / 2.0
+    centers = jnp.concatenate([centers_xy, z[..., None]], axis=-1)
+    halfdims = jnp.concatenate(
+        [jnp.broadcast_to(dxdy / 2.0, centers_xy.shape), z_half[..., None]],
+        axis=-1)
+    d = jnp.abs(points[..., None, :] - centers) - halfdims
+    outside = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(d, axis=-1), 0.0)
+    sdf = jnp.min(outside + inside, axis=-1)
+    return -sdf if inverted else sdf
+
+
+def terrain_sdf(terrain: Terrain, points: jax.Array, **kw) -> jax.Array:
+    return points_hf_sdf(points, terrain.hf, terrain.min_point, terrain.dxdy, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Pool / simplify ops (JAX; respect hf_maxmin where given)
+# ---------------------------------------------------------------------------
+
+
+def _pool2d(hf: jax.Array, size: int, mode: str) -> jax.Array:
+    init = -jnp.inf if mode == "max" else jnp.inf
+    op = jax.lax.max if mode == "max" else jax.lax.min
+    return jax.lax.reduce_window(
+        hf, init, op, (size, size), (1, 1), "SAME")
+
+
+def maxpool_hf(hf: jax.Array, hf_maxmin: Optional[jax.Array], size: int) -> jax.Array:
+    out = _pool2d(hf, size, "max")
+    if hf_maxmin is not None:
+        out = jnp.clip(out, hf_maxmin[..., 1], hf_maxmin[..., 0])
+    return out
+
+
+def minpool_hf(hf: jax.Array, hf_maxmin: Optional[jax.Array], size: int) -> jax.Array:
+    out = _pool2d(hf, size, "min")
+    if hf_maxmin is not None:
+        out = jnp.clip(out, hf_maxmin[..., 1], hf_maxmin[..., 0])
+    return out
+
+
+def flat_maxpool_2x2(terrain: Terrain) -> Terrain:
+    """Snap each 2x2 block to its max height (stabilizes A* planning)."""
+    hf = terrain.hf
+    h, w = hf.shape
+    h2, w2 = h - h % 2, w - w % 2
+    blocks = hf[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
+    pooled = jnp.max(blocks, axis=(1, 3))
+    flat = jnp.repeat(jnp.repeat(pooled, 2, axis=0), 2, axis=1)
+    hf = hf.at[:h2, :w2].set(flat)
+    return terrain.replace(hf=hf)
+
+
+# ---------------------------------------------------------------------------
+# Motion-aware masks / augmentation bounds
+# ---------------------------------------------------------------------------
+
+
+def compute_hf_mask_inds(terrain: Terrain, body_points: jax.Array,
+                         pad_cells: int = 1) -> jax.Array:
+    """Boolean (H, W) mask of cells touched by character body points.
+
+    ``body_points`` is any (..., 3) cloud (e.g. per-frame body positions or
+    surface samples over a whole motion). Cells within ``pad_cells`` of a
+    touched cell are also marked (reference: util/terrain_util.py:1951-1997).
+    """
+    mask = jnp.zeros(terrain.dims, bool)
+    pts = body_points.reshape(-1, 3)
+    ij = get_grid_index(terrain, pts[:, 0:2])
+    mask = mask.at[ij[:, 0], ij[:, 1]].set(True)
+    if pad_cells > 0:
+        size = 2 * pad_cells + 1
+        mask = jax.lax.reduce_window(
+            mask, False, jax.lax.bitwise_or, (size, size), (1, 1), "SAME")
+    return mask
+
+
+def compute_hf_maxmin(terrain: Terrain, body_points: jax.Array,
+                      mask: Optional[jax.Array] = None,
+                      max_h: float = 3.0, min_h: float = -3.0,
+                      contact_eps: float = 0.05) -> Terrain:
+    """Augmentation bounds: free cells may move in [min_h, max_h]; cells the
+    motion touched are pinned near their current height (reference:
+    util/terrain_util.py:2017-2047)."""
+    if mask is None:
+        mask = compute_hf_mask_inds(terrain, body_points)
+    hmax = jnp.where(mask, terrain.hf + contact_eps, terrain.hf + max_h)
+    hmin = jnp.where(mask, terrain.hf - contact_eps, terrain.hf + min_h)
+    return terrain.replace(hf_mask=mask,
+                           hf_maxmin=jnp.stack([hmax, hmin], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Slicing / padding (host-friendly, shapes change)
+# ---------------------------------------------------------------------------
+
+
+def pad_terrain(terrain: Terrain, pad: int, height: float = 0.0) -> Terrain:
+    hf = jnp.pad(terrain.hf, pad, constant_values=height)
+    mask = jnp.pad(terrain.hf_mask, pad, constant_values=False)
+    maxmin = jnp.pad(terrain.hf_maxmin, ((pad, pad), (pad, pad), (0, 0)),
+                     constant_values=0.0)
+    maxmin = maxmin.at[..., 0].set(
+        jnp.where(jnp.pad(jnp.ones(terrain.dims, bool), pad), maxmin[..., 0],
+                  height + 3.0))
+    maxmin = maxmin.at[..., 1].set(
+        jnp.where(jnp.pad(jnp.ones(terrain.dims, bool), pad), maxmin[..., 1],
+                  height - 3.0))
+    return Terrain(hf=hf, hf_mask=mask, hf_maxmin=maxmin,
+                   min_point=terrain.min_point - pad * terrain.dxdy,
+                   dxdy=terrain.dxdy)
+
+
+def slice_terrain(terrain: Terrain, min_i: int, min_j: int,
+                  max_i: int, max_j: int) -> Terrain:
+    return Terrain(
+        hf=terrain.hf[min_i:max_i, min_j:max_j],
+        hf_mask=terrain.hf_mask[min_i:max_i, min_j:max_j],
+        hf_maxmin=terrain.hf_maxmin[min_i:max_i, min_j:max_j],
+        min_point=terrain.min_point
+        + jnp.asarray([min_i, min_j], terrain.min_point.dtype) * terrain.dxdy,
+        dxdy=terrain.dxdy,
+    )
+
+
+def slice_terrain_around_points(terrain: Terrain, points_xy: np.ndarray,
+                                padding: float = 1.0,
+                                localize: bool = True) -> Terrain:
+    """Host-side: crop the terrain to the bounding box of xy points."""
+    pts = np.asarray(points_xy).reshape(-1, 2)
+    dxdy = np.asarray(terrain.dxdy)
+    minp = np.asarray(terrain.min_point)
+    dims = terrain.dims
+    pad = np.ceil(padding / dxdy).astype(int)
+    lo = np.floor((pts.min(0) - minp) / dxdy).astype(int) - pad
+    hi = np.ceil((pts.max(0) - minp) / dxdy).astype(int) + pad + 1
+    lo = np.clip(lo, 0, np.asarray(dims) - 1)
+    hi = np.clip(hi, 1, np.asarray(dims))
+    out = slice_terrain(terrain, int(lo[0]), int(lo[1]), int(hi[0]), int(hi[1]))
+    if localize:
+        out = out.replace(min_point=jnp.zeros_like(out.min_point))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Procedural generation (host side, numpy RNG)
+# ---------------------------------------------------------------------------
+
+
+def add_boxes(rng: np.random.Generator, hf: np.ndarray, num_boxes: int = 32,
+              box_min_height: float = -3.0, box_max_height: float = 3.0,
+              box_min_len: int = 1, box_max_len: int = 6,
+              hf_maxmin: Optional[np.ndarray] = None) -> np.ndarray:
+    """Stamp random axis-aligned raised/lowered boxes onto the heightfield."""
+    h, w = hf.shape
+    hf = hf.copy()
+    for _ in range(num_boxes):
+        bl = rng.integers(box_min_len, box_max_len + 1)
+        bw = rng.integers(box_min_len, box_max_len + 1)
+        i = rng.integers(0, max(1, h - bl))
+        j = rng.integers(0, max(1, w - bw))
+        height = rng.uniform(box_min_height, box_max_height)
+        patch = np.full((bl, bw), height, hf.dtype)
+        if hf_maxmin is not None:
+            patch = np.clip(patch, hf_maxmin[i:i + bl, j:j + bw, 1],
+                            hf_maxmin[i:i + bl, j:j + bw, 0])
+        hf[i:i + bl, j:j + bw] = patch
+    return hf
+
+
+def add_stairs(rng: np.random.Generator, hf: np.ndarray,
+               min_start_height: float = -3.0, max_start_height: float = 1.0,
+               min_step: float = 0.1, max_step: float = 0.4,
+               min_width: int = 1, max_width: int = 3) -> np.ndarray:
+    """Add a run of stairs along a random axis direction."""
+    h, w = hf.shape
+    hf = hf.copy()
+    axis = rng.integers(0, 2)
+    direction = rng.choice([-1, 1])
+    height = rng.uniform(min_start_height, max_start_height)
+    step = rng.uniform(min_step, max_step) * rng.choice([-1, 1])
+    pos = 0
+    n = h if axis == 0 else w
+    while pos < n:
+        width = int(rng.integers(min_width, max_width + 1))
+        sl = slice(pos, min(pos + width, n))
+        if axis == 0:
+            hf[sl if direction == 1 else slice(n - sl.stop, n - sl.start), :] = height
+        else:
+            hf[:, sl if direction == 1 else slice(n - sl.stop, n - sl.start)] = height
+        height += step
+        pos += width
+    return hf
+
+
+def perlin(rng: np.random.Generator, shape: Tuple[int, int],
+           res: Tuple[int, int] = (4, 4), octaves: int = 1,
+           persistence: float = 0.5, amplitude: float = 1.0) -> np.ndarray:
+    """Multi-octave 2D value-gradient (perlin) noise."""
+    def fade(t):
+        return 6 * t**5 - 15 * t**4 + 10 * t**3
+
+    def one(res_):
+        d0 = shape[0] // res_[0]
+        d1 = shape[1] // res_[1]
+        grid = np.mgrid[0:res_[0]:1, 0:res_[1]:1].transpose(1, 2, 0)
+        angles = 2 * np.pi * rng.random((res_[0] + 1, res_[1] + 1))
+        grads = np.stack([np.cos(angles), np.sin(angles)], axis=-1)
+        g = grads.repeat(d0, 0).repeat(d1, 1)[:shape[0] + d0, :shape[1] + d1]
+        xy = np.mgrid[0:shape[0], 0:shape[1]].transpose(1, 2, 0).astype(float)
+        xy[..., 0] = xy[..., 0] / d0 % 1
+        xy[..., 1] = xy[..., 1] / d1 % 1
+
+        def dot(grad, shift):
+            return (np.stack([xy[..., 0] + shift[0], xy[..., 1] + shift[1]],
+                             axis=-1) * grad[:shape[0], :shape[1]]).sum(-1)
+
+        n00 = dot(g[:-d0, :-d1], (0, 0))
+        n10 = dot(g[d0:, :-d1], (-1, 0))
+        n01 = dot(g[:-d0, d1:], (0, -1))
+        n11 = dot(g[d0:, d1:], (-1, -1))
+        t = fade(xy)
+        nx0 = n00 * (1 - t[..., 0]) + n10 * t[..., 0]
+        nx1 = n01 * (1 - t[..., 0]) + n11 * t[..., 0]
+        return np.sqrt(2) * ((1 - t[..., 1]) * nx0 + t[..., 1] * nx1)
+
+    noise = np.zeros(shape)
+    freq, amp = 1, 1.0
+    for _ in range(octaves):
+        r = (res[0] * freq, res[1] * freq)
+        if shape[0] % r[0] or shape[1] % r[1]:
+            break
+        noise += amp * one(r)
+        freq *= 2
+        amp *= persistence
+    return (amplitude * noise).astype(np.float32)
+
+
+def gen_curvy_paths(rng: np.random.Generator, hf: np.ndarray,
+                    num_paths: int = 10, floor_height: float = -1.0,
+                    path_min_height: float = -0.5, path_max_height: float = 3.0,
+                    curviness: float = 7.0, num_points: int = 180) -> np.ndarray:
+    """Carve random-walk paths of varying heights into a low floor."""
+    h, w = hf.shape
+    out = np.full_like(hf, floor_height)
+    for _ in range(num_paths):
+        pos = np.array([rng.uniform(0, h), rng.uniform(0, w)])
+        ang = rng.uniform(0, 2 * np.pi)
+        height = rng.uniform(path_min_height, path_max_height)
+        for _ in range(num_points):
+            i, j = int(pos[0]), int(pos[1])
+            if 0 <= i < h and 0 <= j < w:
+                out[max(0, i - 1):i + 2, max(0, j - 1):j + 2] = height
+            ang += rng.normal() * curviness * np.pi / 180.0
+            pos += np.array([np.cos(ang), np.sin(ang)])
+            if not (0 <= pos[0] < h and 0 <= pos[1] < w):
+                break
+    return out
+
+
+def hf_to_voxelized_trimesh(hf: np.ndarray, min_x: float, min_y: float,
+                            dx: float):
+    """Minecraft-style mesh export (verts, faces) of a heightfield.
+
+    Vectorized (the reference builds this with a Python double loop; it is
+    only needed for visualization/export on TPU, never for collision).
+    """
+    h, w = hf.shape
+    half = dx / 2.0
+    xs = min_x + np.arange(h) * dx
+    ys = min_y + np.arange(w) * dx
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    # 4 top corners per cell
+    cx = np.stack([gx - half, gx + half, gx + half, gx - half], -1)
+    cy = np.stack([gy - half, gy - half, gy + half, gy + half], -1)
+    cz = np.repeat(hf[..., None], 4, axis=-1)
+    verts = np.stack([cx, cy, cz], -1).reshape(-1, 3)
+    base = 4 * np.arange(h * w).reshape(h, w)
+    top1 = np.stack([base, base + 1, base + 2], -1).reshape(-1, 3)
+    top2 = np.stack([base, base + 2, base + 3], -1).reshape(-1, 3)
+    faces = [top1, top2]
+    # vertical side quads between x-neighbors
+    b0, b1 = base[:-1, :], base[1:, :]
+    # cell i side (+x) uses corners 1,2 ; cell i+1 side (-x) corners 0,3
+    faces.append(np.stack([b0 + 1, b1, b0 + 2], -1).reshape(-1, 3))
+    faces.append(np.stack([b0 + 2, b1, b1 + 3], -1).reshape(-1, 3))
+    c0, c1 = base[:, :-1], base[:, 1:]
+    faces.append(np.stack([c0 + 2, c1, c0 + 3], -1).reshape(-1, 3))
+    faces.append(np.stack([c0 + 3, c1, c1 + 1], -1).reshape(-1, 3))
+    return verts, np.concatenate(faces, 0)

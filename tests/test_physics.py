@@ -1,0 +1,126 @@
+"""Physics engine tests: analytic free fall, stability, determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.data.humanoid import humanoid_spec
+from parc_tpu.physics import engine
+from parc_tpu.utils import terrain as terrain_lib
+
+
+@pytest.fixture(scope="module")
+def model():
+    return humanoid_spec().build()
+
+
+@pytest.fixture(scope="module")
+def flat_terrain():
+    return terrain_lib.create_terrain(64, 64, dx=0.4, min_x=-12.8, min_y=-12.8)
+
+
+def _default_state(model, batch=(), z=0.95):
+    root_pos = jnp.zeros(batch + (3,)).at[..., 2].set(z)
+    root_rot = jnp.zeros(batch + (4,)).at[..., 3].set(1.0)
+    joint_rot = jnp.zeros(batch + (model.num_bodies - 1, 4)).at[..., 3].set(1.0)
+    return engine.create_state(model, root_pos, root_rot, joint_rot)
+
+
+def test_free_fall_analytic(model, flat_terrain):
+    """With no torques and no contact, ABA must produce pure -g root
+    acceleration and zero joint accelerations (gravity is uniform)."""
+    passive = model.replace(
+        dof_stiffness=jnp.zeros_like(model.dof_stiffness),
+        dof_damping=jnp.zeros_like(model.dof_damping))
+    params = engine.SimParams(limit_stiffness=0.0, limit_damping=0.0)
+    state = _default_state(passive, z=100.0)
+
+    tau = jnp.zeros((passive.dof_size,))
+    f_ext = jnp.zeros((passive.num_bodies, 6))
+    root_acc, qdd = engine.aba(passive, params, state, tau, tau, f_ext, 1 / 120)
+    np.testing.assert_allclose(np.asarray(root_acc[0:3]), 0.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(root_acc[3:6]), [0, 0, -9.81],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(qdd), 0.0, atol=2e-3)
+
+    # integrate 0.5 s and check ballistic root height
+    step = jax.jit(lambda s: engine.sim_step(
+        passive, params, flat_terrain, s,
+        jnp.zeros((passive.dof_size,))))
+    for _ in range(30):
+        state = step(state)
+    t = 30 * params.dt
+    np.testing.assert_allclose(
+        float(state.root_pos[2]), 100.0 - 0.5 * 9.81 * t * t, atol=5e-2)
+
+
+def test_standing_stability(model, flat_terrain):
+    """PD holding the default pose supports the body weight: joints hold
+    their targets and ground reaction equals gravity.  (The statue slowly
+    tips about its heels after ~1s — that is correct rigid-body physics for
+    an unbalanced character, so we check the short horizon.)"""
+    params = engine.SimParams()
+    state = _default_state(model, batch=(4,), z=0.95)
+    target = jnp.zeros((4, model.dof_size))
+
+    step = jax.jit(lambda s: engine.control_step(
+        model, params, flat_terrain, s, target))
+    for _ in range(15):  # 0.5 seconds at 30 Hz
+        state = step(state)
+    z = np.asarray(state.root_pos[..., 2])
+    assert np.all(np.isfinite(np.asarray(state.root_pos)))
+    assert np.all(z > 0.8) and np.all(z < 1.0), z
+    # feet carry the body's weight
+    total_fz = np.asarray(jnp.sum(state.contact_forces[..., 2], axis=-1))
+    weight = float(jnp.sum(model.body_mass)) * 9.81
+    np.testing.assert_allclose(total_fz, weight, rtol=0.35)
+    # joints track their PD targets (the collapse mode would bend knees/hips)
+    from parc_tpu.anim import char_model as cm
+    dof = np.asarray(cm.rot_to_dof(model, state.joint_rot))
+    assert np.all(np.abs(dof) < 0.25), np.max(np.abs(dof))
+
+
+def test_unbalanced_statue_falls(model, flat_terrain):
+    """With no balance controller the humanoid must eventually topple —
+    staying up forever would indicate non-physical contact."""
+    params = engine.SimParams()
+    state = _default_state(model, z=0.95)
+    target = jnp.zeros((model.dof_size,))
+    step = jax.jit(lambda s: engine.control_step(
+        model, params, flat_terrain, s, target))
+    for _ in range(90):  # 3 seconds
+        state = step(state)
+    assert np.all(np.isfinite(np.asarray(state.root_pos)))
+    assert float(state.root_pos[2]) < 0.6
+
+
+def test_determinism(model, flat_terrain):
+    params = engine.SimParams()
+    state = _default_state(model, batch=(2,), z=0.95)
+    target = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.2, 0.2, (2, model.dof_size)),
+        jnp.float32)
+    step = jax.jit(lambda s: engine.control_step(
+        model, params, flat_terrain, s, target))
+    s1 = step(state)
+    s2 = step(state)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_contact_on_raised_platform(model):
+    """Standing on a raised box of the heightfield works identically."""
+    terrain = terrain_lib.create_terrain(64, 64, dx=0.4, min_x=-12.8,
+                                         min_y=-12.8, height=0.0)
+    terrain = terrain.replace(hf=terrain.hf.at[24:40, 24:40].set(1.0))
+    params = engine.SimParams()
+    state = _default_state(model, z=1.95)
+    target = jnp.zeros((model.dof_size,))
+    step = jax.jit(lambda s: engine.control_step(
+        model, params, terrain, s, target))
+    for _ in range(15):
+        state = step(state)
+    z = float(state.root_pos[2])
+    assert 1.8 < z < 2.05, z
