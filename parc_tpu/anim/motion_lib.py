@@ -1,0 +1,250 @@
+"""Motion library: batched reference-motion playback on device.
+
+Loads a set of motion clips (plus optional per-motion terrains) into flat
+static-shape device arrays and provides pure, jittable frame sampling with
+slerp blending, CLAMP/WRAP looping, and weighted motion sampling — the JAX
+equivalent of the reference's MotionLib (reference: anim/motion_lib.py:21-539).
+
+Terrains are padded to common dimensions so per-motion terrain lookup is a
+single gather inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.anim import motion_data as md
+from parc_tpu.utils import rotation as rot
+from parc_tpu.utils import terrain as terrain_lib
+
+LOOP_CLAMP, LOOP_WRAP = 0, 1
+
+
+@struct.dataclass
+class MotionFrame:
+    """A batch of sampled motion frames."""
+
+    root_pos: jax.Array      # (..., 3)
+    root_rot: jax.Array      # (..., 4)
+    root_vel: jax.Array      # (..., 3)
+    root_ang_vel: jax.Array  # (..., 3)
+    joint_rot: jax.Array     # (..., J-1, 4)
+    dof_vel: jax.Array       # (..., D)
+    contacts: jax.Array      # (..., B)
+
+
+@struct.dataclass
+class MotionLib:
+    # concatenated per-frame arrays (F = total frames over all motions)
+    frame_root_pos: jax.Array      # (F, 3)
+    frame_root_rot: jax.Array      # (F, 4)
+    frame_root_vel: jax.Array      # (F, 3)
+    frame_root_ang_vel: jax.Array  # (F, 3)
+    frame_joint_rot: jax.Array     # (F, J-1, 4)
+    frame_dof_vel: jax.Array       # (F, D)
+    frame_contacts: jax.Array      # (F, B)
+    # per-motion metadata
+    start_idx: jax.Array       # (M,) int32
+    num_frames: jax.Array      # (M,) int32
+    lengths: jax.Array         # (M,) float  (num_frames-1)/fps
+    fps: jax.Array             # (M,)
+    loop_modes: jax.Array      # (M,) int32
+    weights: jax.Array         # (M,) sampling weights (normalized)
+    root_pos_delta: jax.Array  # (M, 3) xy displacement per loop (WRAP)
+    # per-motion terrain, padded to common dims
+    terrain_hf: jax.Array         # (M, Ht, Wt)
+    terrain_min_point: jax.Array  # (M, 2)
+    terrain_dxdy: jax.Array       # (2,)
+
+    @property
+    def num_motions(self) -> int:
+        return self.start_idx.shape[0]
+
+    def motion_terrain(self, motion_id: jax.Array) -> terrain_lib.Terrain:
+        """Per-motion Terrain view (single id -> Terrain pytree)."""
+        hf = self.terrain_hf[motion_id]
+        return terrain_lib.Terrain(
+            hf=hf, hf_mask=jnp.zeros(hf.shape, bool),
+            hf_maxmin=jnp.stack([hf + 3.0, hf - 3.0], -1),
+            min_point=self.terrain_min_point[motion_id],
+            dxdy=self.terrain_dxdy)
+
+
+def build_motion_lib(model: cm.CharModel,
+                     motions: Sequence[md.MotionData],
+                     weights: Optional[Sequence[float]] = None,
+                     dtype=jnp.float32) -> MotionLib:
+    """Assemble a MotionLib from host motion clips.
+
+    Velocity conventions match the reference loader (reference:
+    anim/motion_lib.py:169-182): forward differences scaled by fps with the
+    last frame repeated; angular velocity is the exp-map of the frame-to-
+    frame quaternion difference (world frame, left-trivialized).
+    """
+    num_bodies = model.num_bodies
+    rp, rr, rv, rav, jr, dv, ct = [], [], [], [], [], [], []
+    starts, counts, lengths, fpss, loops, deltas = [], [], [], [], [], []
+    hfs, minpts, dxdys = [], [], []
+    off = 0
+    for m in motions:
+        frames = jnp.asarray(m.frames, dtype)
+        fps = float(m.fps)
+        n = frames.shape[0]
+        root_pos = frames[:, 0:3]
+        root_rot = rot.exp_map_to_quat(frames[:, 3:6])
+        joint_rot = rot.quat_pos(cm.dof_to_rot(model, frames[:, 6:]))
+
+        root_vel = fps * (root_pos[1:] - root_pos[:-1])
+        root_vel = jnp.concatenate([root_vel, root_vel[-1:]], 0)
+        drot = rot.quat_diff(root_rot[:-1], root_rot[1:])
+        root_ang_vel = fps * rot.quat_to_exp_map(drot)
+        root_ang_vel = jnp.concatenate([root_ang_vel, root_ang_vel[-1:]], 0)
+        dof_vel = cm.compute_frame_dof_vel(model, joint_rot, 1.0 / fps)
+
+        contacts = (jnp.asarray(m.contacts, dtype) if m.contacts is not None
+                    else jnp.zeros((n, num_bodies), dtype))
+
+        rp.append(root_pos); rr.append(root_rot); rv.append(root_vel)
+        rav.append(root_ang_vel); jr.append(joint_rot); dv.append(dof_vel)
+        ct.append(contacts)
+        starts.append(off); counts.append(n)
+        lengths.append((n - 1) / fps); fpss.append(fps)
+        loops.append(md.LOOP_MODES[m.loop_mode])
+        delta = np.array(root_pos[-1] - root_pos[0])
+        delta[2] = 0.0
+        deltas.append(delta)
+        off += n
+        if m.terrain is not None:
+            hfs.append(np.asarray(m.terrain.hf, np.float32))
+            minpts.append(np.asarray(m.terrain.min_point[:2], np.float32))
+            dxdys.append(np.asarray(m.terrain.dxdy[:2], np.float32))
+        else:
+            hfs.append(np.zeros((2, 2), np.float32))
+            minpts.append(np.asarray([-100.0, -100.0], np.float32))
+            dxdys.append(np.asarray([0.4, 0.4], np.float32))
+
+    # pad terrains to common dims (edge padding keeps borders walkable)
+    ht = max(h.shape[0] for h in hfs)
+    wt = max(h.shape[1] for h in hfs)
+    hf_pad = np.stack([
+        np.pad(h, ((0, ht - h.shape[0]), (0, wt - h.shape[1])), mode="edge")
+        for h in hfs])
+
+    w = (np.asarray(weights, np.float64) if weights is not None
+         else np.ones(len(motions)))
+    w = w / w.sum()
+
+    return MotionLib(
+        frame_root_pos=jnp.concatenate(rp),
+        frame_root_rot=jnp.concatenate(rr),
+        frame_root_vel=jnp.concatenate(rv),
+        frame_root_ang_vel=jnp.concatenate(rav),
+        frame_joint_rot=jnp.concatenate(jr),
+        frame_dof_vel=jnp.concatenate(dv),
+        frame_contacts=jnp.concatenate(ct),
+        start_idx=jnp.asarray(starts, jnp.int32),
+        num_frames=jnp.asarray(counts, jnp.int32),
+        lengths=jnp.asarray(lengths, dtype),
+        fps=jnp.asarray(fpss, dtype),
+        loop_modes=jnp.asarray(loops, jnp.int32),
+        weights=jnp.asarray(w, dtype),
+        root_pos_delta=jnp.asarray(np.stack(deltas), dtype),
+        terrain_hf=jnp.asarray(hf_pad),
+        terrain_min_point=jnp.asarray(np.stack(minpts)),
+        terrain_dxdy=jnp.asarray(dxdys[0]),
+    )
+
+
+def load_motion_lib(model: cm.CharModel, files: Sequence[str],
+                    weights: Optional[Sequence[float]] = None) -> MotionLib:
+    return build_motion_lib(
+        model, [md.load_motion_data(f) for f in files], weights)
+
+
+# ---------------------------------------------------------------------------
+# Pure sampling functions
+# ---------------------------------------------------------------------------
+
+
+def sample_motions(lib: MotionLib, rng: jax.Array, n: int,
+                   weights: Optional[jax.Array] = None) -> jax.Array:
+    w = lib.weights if weights is None else weights
+    return jax.random.categorical(rng, jnp.log(jnp.maximum(w, 1e-12)), shape=(n,))
+
+
+def sample_time(lib: MotionLib, rng: jax.Array, motion_ids: jax.Array,
+                truncate_time: Optional[float] = None) -> jax.Array:
+    phase = jax.random.uniform(rng, motion_ids.shape)
+    length = lib.lengths[motion_ids]
+    if truncate_time is not None:
+        length = jnp.maximum(length - truncate_time, 0.0)
+    return phase * length
+
+
+def calc_phase(lib: MotionLib, motion_ids: jax.Array,
+               times: jax.Array) -> jax.Array:
+    length = lib.lengths[motion_ids]
+    phase = times / length
+    wrap = lib.loop_modes[motion_ids] == LOOP_WRAP
+    phase = jnp.where(wrap, phase - jnp.floor(phase), phase)
+    return jnp.clip(phase, 0.0, 1.0)
+
+
+def calc_frame_blend(lib: MotionLib, motion_ids: jax.Array,
+                     times: jax.Array):
+    num_frames = lib.num_frames[motion_ids]
+    phase = calc_phase(lib, motion_ids, times)
+    fidx = phase * (num_frames - 1).astype(phase.dtype)
+    idx0 = jnp.floor(fidx).astype(jnp.int32)
+    idx0 = jnp.minimum(idx0, num_frames - 1)
+    idx1 = jnp.minimum(idx0 + 1, num_frames - 1)
+    blend = fidx - idx0.astype(phase.dtype)
+    start = lib.start_idx[motion_ids]
+    return start + idx0, start + idx1, blend
+
+
+def _loop_offset(lib: MotionLib, motion_ids: jax.Array,
+                 times: jax.Array) -> jax.Array:
+    wrap = lib.loop_modes[motion_ids] == LOOP_WRAP
+    cycles = jnp.floor(times / lib.lengths[motion_ids])
+    delta = lib.root_pos_delta[motion_ids]
+    return jnp.where(wrap[..., None], cycles[..., None] * delta, 0.0)
+
+
+def calc_motion_frame(lib: MotionLib, motion_ids: jax.Array,
+                      times: jax.Array) -> MotionFrame:
+    """Sample blended motion frames at arbitrary times (fully vectorized).
+
+    Reference parity: anim/motion_lib.py:80-112 (positions/rotations are
+    slerp-blended; velocities and contacts come from the earlier frame /
+    linear blend respectively)."""
+    i0, i1, blend = calc_frame_blend(lib, motion_ids, times)
+    b = blend[..., None]
+    root_pos = ((1.0 - b) * lib.frame_root_pos[i0]
+                + b * lib.frame_root_pos[i1])
+    root_rot = rot.slerp(lib.frame_root_rot[i0], lib.frame_root_rot[i1], blend)
+    joint_rot = rot.slerp(lib.frame_joint_rot[i0], lib.frame_joint_rot[i1],
+                          b)
+    contacts = ((1.0 - b) * lib.frame_contacts[i0]
+                + b * lib.frame_contacts[i1])
+    root_pos = root_pos + _loop_offset(lib, motion_ids, times)
+    return MotionFrame(
+        root_pos=root_pos, root_rot=root_rot,
+        root_vel=lib.frame_root_vel[i0],
+        root_ang_vel=lib.frame_root_ang_vel[i0],
+        joint_rot=joint_rot, dof_vel=lib.frame_dof_vel[i0],
+        contacts=contacts)
+
+
+def frames_34d(model: cm.CharModel, frame: MotionFrame) -> jax.Array:
+    """MotionFrame -> the interchange 34-D representation."""
+    return jnp.concatenate([
+        frame.root_pos, rot.quat_to_exp_map(frame.root_rot),
+        cm.rot_to_dof(model, frame.joint_rot)], axis=-1)
