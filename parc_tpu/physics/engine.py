@@ -119,19 +119,35 @@ def refresh_kinematics(model: cm.CharModel, state: SimState) -> SimState:
 # ---------------------------------------------------------------------------
 
 
-def _hf_height_and_normal(terrain: terrain_lib.Terrain, xy: jax.Array):
-    """Bilinear surface height and unit normal at world xy points."""
-    uv = (xy - terrain.min_point) / terrain.dxdy
-    dims = jnp.asarray(terrain.hf.shape)
+def _hf_height_and_normal(terrain: terrain_lib.Terrain, xy: jax.Array,
+                          terrain_idx: Optional[jax.Array] = None):
+    """Bilinear surface height and unit normal at world xy points.
+
+    Supports a batched terrain (hf (M, H, W), min_point (M, 2)) selected
+    per environment by ``terrain_idx`` — each env collides against its own
+    motion's terrain, replacing the reference's global tiled-trimesh world.
+    """
+    batched = terrain.hf.ndim == 3
+    min_point = (terrain.min_point[terrain_idx][..., None, :]
+                 if batched else terrain.min_point)
+    uv = (xy - min_point) / terrain.dxdy
+    dims = jnp.asarray(terrain.hf.shape[-2:])
     uv = jnp.clip(uv, 0.0, (dims - 1).astype(uv.dtype))
     i0 = jnp.floor(uv).astype(jnp.int32)
     i0 = jnp.minimum(i0, dims - 2)
     i1 = i0 + 1
     f = uv - i0
-    h00 = terrain.hf[i0[..., 0], i0[..., 1]]
-    h10 = terrain.hf[i1[..., 0], i0[..., 1]]
-    h01 = terrain.hf[i0[..., 0], i1[..., 1]]
-    h11 = terrain.hf[i1[..., 0], i1[..., 1]]
+    if batched:
+        t = terrain_idx[..., None]
+        h00 = terrain.hf[t, i0[..., 0], i0[..., 1]]
+        h10 = terrain.hf[t, i1[..., 0], i0[..., 1]]
+        h01 = terrain.hf[t, i0[..., 0], i1[..., 1]]
+        h11 = terrain.hf[t, i1[..., 0], i1[..., 1]]
+    else:
+        h00 = terrain.hf[i0[..., 0], i0[..., 1]]
+        h10 = terrain.hf[i1[..., 0], i0[..., 1]]
+        h01 = terrain.hf[i0[..., 0], i1[..., 1]]
+        h11 = terrain.hf[i1[..., 0], i1[..., 1]]
     fx, fy = f[..., 0], f[..., 1]
     h = ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
          + (1 - fx) * fy * h01 + fx * fy * h11)
@@ -143,7 +159,8 @@ def _hf_height_and_normal(terrain: terrain_lib.Terrain, xy: jax.Array):
 
 
 def compute_contact_forces(model: cm.CharModel, params: SimParams,
-                           terrain: terrain_lib.Terrain, state: SimState):
+                           terrain: terrain_lib.Terrain, state: SimState,
+                           terrain_idx: Optional[jax.Array] = None):
     """Penalty contact of character points against the heightfield.
 
     Returns (f_ext (..., J, 6) spatial forces at body origins,
@@ -161,7 +178,7 @@ def compute_contact_forces(model: cm.CharModel, params: SimParams,
     x = bpos + rot.quat_rotate(brot, jnp.broadcast_to(offs, bpos.shape))
     v = bvel + jnp.cross(bang, x - bpos)
 
-    h, n = _hf_height_and_normal(terrain, x[..., 0:2])
+    h, n = _hf_height_and_normal(terrain, x[..., 0:2], terrain_idx)
     slope_cos = n[..., 2]
     phi = (x[..., 2] - rad - h) * slope_cos  # approx signed distance
     phi_dot = jnp.sum(n * v, axis=-1)
@@ -435,7 +452,8 @@ def integrate(model: cm.CharModel, state: SimState, root_acc: jax.Array,
 
 def sim_step(model: cm.CharModel, params: SimParams,
              terrain: terrain_lib.Terrain, state: SimState,
-             pd_target_dof: jax.Array) -> SimState:
+             pd_target_dof: jax.Array,
+             terrain_idx: Optional[jax.Array] = None) -> SimState:
     """One 60 Hz sim step = ``substeps`` integrator substeps with torque and
     contact recomputed each substep (reference: envs/ig_env.py:827-848)."""
     h = params.dt / params.substeps
@@ -444,7 +462,8 @@ def sim_step(model: cm.CharModel, params: SimParams,
         st, net_accum = carry
         tau, d_extra = compute_joint_torques(model, params, st,
                                              pd_target_dof, h)
-        f_ext, net = compute_contact_forces(model, params, terrain, st)
+        f_ext, net = compute_contact_forces(model, params, terrain, st,
+                                            terrain_idx)
         root_acc, qdd = aba(model, params, st, tau, d_extra, f_ext, h)
         st = integrate(model, st, root_acc, qdd, h)
         return (st, net_accum + net), None
@@ -458,11 +477,13 @@ def sim_step(model: cm.CharModel, params: SimParams,
 def control_step(model: cm.CharModel, params: SimParams,
                  terrain: terrain_lib.Terrain, state: SimState,
                  pd_target_dof: jax.Array,
-                 sim_steps: int = 2) -> SimState:
+                 sim_steps: int = 2,
+                 terrain_idx: Optional[jax.Array] = None) -> SimState:
     """One 30 Hz control step = ``sim_steps`` x 60 Hz sim steps holding the
     same PD target (reference: 60 Hz sim / 30 Hz control)."""
     def body(st, _):
-        return sim_step(model, params, terrain, st, pd_target_dof), None
+        return sim_step(model, params, terrain, st, pd_target_dof,
+                        terrain_idx), None
 
     state, _ = jax.lax.scan(body, state, None, length=sim_steps)
     return state

@@ -2,14 +2,24 @@
 
 import os
 
-# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU),
-# which must not be used for unit tests.
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU)
+# and the axon sitecustomize imports jax at interpreter startup, so the env
+# var alone is not enough — override via jax.config as well (below).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# persistent compilation cache: rerunning the suite skips recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
