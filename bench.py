@@ -1,0 +1,94 @@
+"""Benchmark: humanoid env-steps/sec on TPU.
+
+Measures the full DeepMimic training rollout path — policy MLP forward,
+PD-actuated Featherstone physics (60 Hz x 2 substeps), terrain contact,
+observation/reward/done, masked auto-reset — batched over NUM_ENVS envs,
+as one jitted scan on device.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver north star is 2M env-steps/s on a v5e-8 (8 chips);
+this runs on however many chips are visible and compares against
+250k/chip * n_chips (BASELINE.md:21).
+"""
+
+import json
+import os
+import sys
+import time
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+ROLLOUT_STEPS = int(os.environ.get("BENCH_STEPS", 64))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from parc_tpu.anim import motion_lib as ml
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import standing_clip, walking_clip
+    from parc_tpu.envs.base import EnvConfig
+    from parc_tpu.envs.deepmimic import DeepMimicEnv
+    from parc_tpu.learning import normalizer as norm_lib
+    from parc_tpu.learning.networks import ActorCritic
+    from parc_tpu.learning.ppo import PPOAgent, PPOConfig
+
+    from parc_tpu.physics import engine
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    print(f"# devices: {devices}", file=sys.stderr)
+
+    model = humanoid_spec().build()
+    cfg = EnvConfig(num_envs=NUM_ENVS)
+    env = DeepMimicEnv(model, engine.SimParams(), cfg)
+    lib = ml.build_motion_lib(
+        model, [standing_clip(), walking_clip(seed=1), walking_clip(seed=2)])
+    agent = PPOAgent(env, PPOConfig())
+    state = agent.init(lib, jax.random.PRNGKey(0))
+
+    def rollout(env_state, params, obs_norm):
+        def step_fn(carry, _):
+            es = carry
+            norm_obs = norm_lib.normalize(obs_norm, es.obs)
+            mean, _ = agent.net.apply(params, norm_obs,
+                                      method=ActorCritic.actor)
+            action = agent.a_mid + agent.a_scale * mean
+            es = env.step(lib, es, action)
+            return es, es.reward.mean()
+
+        es, rewards = jax.lax.scan(step_fn, env_state, None,
+                                   length=ROLLOUT_STEPS)
+        return es, rewards.mean()
+
+    rollout_jit = jax.jit(rollout, donate_argnums=(0,))
+
+    t0 = time.time()
+    es, rew = rollout_jit(state.env_state, state.params, state.obs_norm)
+    jax.block_until_ready(rew)
+    compile_time = time.time() - t0
+    print(f"# compile+first run: {compile_time:.1f}s", file=sys.stderr)
+
+    # timed runs
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        es, rew = rollout_jit(es, state.params, state.obs_norm)
+        jax.block_until_ready(rew)
+        times.append(time.time() - t0)
+    best = min(times)
+    steps_per_sec = NUM_ENVS * ROLLOUT_STEPS / best
+    print(f"# times: {[f'{t:.3f}' for t in times]}, mean_reward={float(rew):.3f}",
+          file=sys.stderr)
+
+    baseline = 250_000.0 * n_chips  # north star 2M / 8 chips, scaled
+    print(json.dumps({
+        "metric": "env_steps_per_sec",
+        "value": round(steps_per_sec, 1),
+        "unit": f"env-steps/s @{NUM_ENVS} envs x{n_chips} chip",
+        "vs_baseline": round(steps_per_sec / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

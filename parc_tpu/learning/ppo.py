@@ -217,7 +217,8 @@ class PPOAgent:
         cfg = self.cfg
 
         # annealed exploration probability
-        if jnp.isfinite(cfg.exp_anneal_samples):
+        import math
+        if math.isfinite(cfg.exp_anneal_samples):
             frac = jnp.clip(agent.sample_count / cfg.exp_anneal_samples, 0, 1)
             exp_prob = (1 - frac) * cfg.exp_prob_beg + frac * cfg.exp_prob_end
         else:

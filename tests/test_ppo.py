@@ -1,0 +1,128 @@
+"""PPO agent tests: TD(lambda) oracle, train_iter smoke, determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parc_tpu.anim import motion_data as md
+from parc_tpu.anim import motion_lib as ml
+from parc_tpu.data.humanoid import humanoid_spec
+from parc_tpu.envs.base import DoneFlags, EnvConfig
+from parc_tpu.envs.deepmimic import DeepMimicEnv
+from parc_tpu.learning import rl_util
+from parc_tpu.learning.ppo import PPOAgent, PPOConfig
+from parc_tpu.physics import engine
+
+
+def _brute_force_td_lambda(r, next_vals, done, discount, td_lambda):
+    """Independent oracle: lambda-weighted mixture of n-step returns,
+    truncated at the first done (which bootstraps through next_vals).
+
+    G^(n)_t = sum_{k<n} g^k r_{t+k} + g^n V_{t+n}  with V_{t+n} read from
+    next_vals[t+n-1]; G^lam_t = (1-lam) sum_{n<L} lam^(n-1) G^(n)_t
+    + lam^(L-1) G^(L)_t where L is the steps until the cut.
+    """
+    T, B = r.shape
+    out = np.zeros_like(r)
+    for b in range(B):
+        for t in range(T):
+            # find cut: first step m >= t that is done (or the batch end)
+            m = t
+            while m < T - 1 and done[m, b] == DoneFlags.NULL:
+                m += 1
+            L = m - t + 1
+            total = 0.0
+            for n in range(1, L + 1):
+                g_n = sum(discount ** k * r[t + k, b] for k in range(n))
+                g_n += discount ** n * next_vals[t + n - 1, b]
+                w = (td_lambda ** (n - 1) if n == L
+                     else (1 - td_lambda) * td_lambda ** (n - 1))
+                total += w * g_n
+            out[t, b] = total
+    return out
+
+
+def test_td_lambda_vs_oracle():
+    rng = np.random.default_rng(0)
+    T, B = 8, 3
+    r = rng.uniform(0, 1, (T, B)).astype(np.float32)
+    nv = rng.uniform(0, 5, (T, B)).astype(np.float32)
+    done = np.zeros((T, B), np.int32)
+    done[3, 0] = DoneFlags.FAIL
+    done[5, 2] = DoneFlags.TIME
+    got = np.asarray(rl_util.compute_td_lambda_return(
+        jnp.asarray(r), jnp.asarray(nv), jnp.asarray(done), 0.99, 0.95))
+    want = _brute_force_td_lambda(r, nv, done, 0.99, 0.95)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def _standing_clip(n=90, fps=30.0):
+    frames = np.zeros((n, 34), np.float32)
+    frames[:, 2] = 0.94
+    contacts = np.zeros((n, 15), np.float32)
+    contacts[:, [11, 14]] = 1.0
+    terrain = md.HostTerrain(
+        hf=np.zeros((24, 24), np.float32),
+        min_point=np.asarray([-4.8, -4.8]), dxdy=np.asarray([0.4, 0.4]))
+    return md.MotionData(frames=frames, fps=fps, contacts=contacts,
+                         terrain=terrain)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = humanoid_spec().build()
+    cfg = EnvConfig(num_envs=8)
+    env = DeepMimicEnv(model, engine.SimParams(), cfg)
+    lib = ml.build_motion_lib(model, [_standing_clip()])
+    ppo_cfg = PPOConfig(steps_per_iter=8, update_epochs=2, batch_size=4,
+                        actor_net="fc_2layers_512units",
+                        critic_net="fc_2layers_512units")
+    agent = PPOAgent(env, ppo_cfg)
+    return env, lib, agent
+
+
+def test_train_iter_runs_and_updates(setup):
+    env, lib, agent = setup
+    state = agent.init(lib, jax.random.PRNGKey(0))
+    train = jax.jit(lambda s: agent.train_iter(lib, s))
+    new_state, metrics = train(state)
+    # parameters moved
+    delta = jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b: a - b, new_state.params, state.params), 0.0)
+    assert delta > 0.0
+    assert np.isfinite(float(metrics.mean_reward))
+    assert np.isfinite(float(metrics.critic_loss))
+    assert float(new_state.sample_count) == 8 * 8
+    # normalizer saw the data
+    assert float(new_state.obs_norm.count) == 8 * 8
+
+    # second iter: stays finite
+    s2, m2 = train(new_state)
+    assert np.isfinite(float(m2.mean_reward))
+    assert np.all(np.isfinite(np.asarray(jax.tree.leaves(s2.params)[0])))
+
+
+def test_train_iter_deterministic(setup):
+    env, lib, agent = setup
+    state = agent.init(lib, jax.random.PRNGKey(1))
+    train = jax.jit(lambda s: agent.train_iter(lib, s))
+    s1, m1 = train(state)
+    s2, m2 = train(state)
+    np.testing.assert_array_equal(np.asarray(m1.mean_reward),
+                                  np.asarray(m2.mean_reward))
+    l1 = jax.tree.leaves(s1.params)
+    l2 = jax.tree.leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_act_deterministic_mode(setup):
+    env, lib, agent = setup
+    state = agent.init(lib, jax.random.PRNGKey(2))
+    obs = state.env_state.obs
+    a1 = agent.act(state, obs, deterministic=True)
+    a2 = agent.act(state, obs, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert a1.shape == (8, env.action_dim)
