@@ -60,6 +60,7 @@ class MotionLib:
     root_pos_delta: jax.Array  # (M, 3) xy displacement per loop (WRAP)
     # per-motion terrain, padded to common dims
     terrain_hf: jax.Array         # (M, Ht, Wt)
+    terrain_maxmin: jax.Array     # (M, Ht, Wt, 2) augmentation max/min
     terrain_min_point: jax.Array  # (M, 2)
     terrain_dxdy: jax.Array       # (2,)
 
@@ -91,7 +92,7 @@ def build_motion_lib(model: cm.CharModel,
     num_bodies = model.num_bodies
     rp, rr, rv, rav, jr, dv, ct = [], [], [], [], [], [], []
     starts, counts, lengths, fpss, loops, deltas = [], [], [], [], [], []
-    hfs, minpts, dxdys = [], [], []
+    hfs, maxmins, minpts, dxdys = [], [], [], []
     off = 0
     for m in motions:
         frames = jnp.asarray(m.frames, dtype)
@@ -122,11 +123,18 @@ def build_motion_lib(model: cm.CharModel,
         deltas.append(delta)
         off += n
         if m.terrain is not None:
-            hfs.append(np.asarray(m.terrain.hf, np.float32))
+            h = np.asarray(m.terrain.hf, np.float32)
+            hfs.append(h)
+            mm = (np.asarray(m.terrain.hf_maxmin, np.float32)
+                  if m.terrain.hf_maxmin is not None
+                  else np.stack([h + 3.0, h - 3.0], -1))
+            maxmins.append(mm)
             minpts.append(np.asarray(m.terrain.min_point[:2], np.float32))
             dxdys.append(np.asarray(m.terrain.dxdy[:2], np.float32))
         else:
             hfs.append(np.zeros((2, 2), np.float32))
+            maxmins.append(np.stack([np.full((2, 2), 3.0, np.float32),
+                                     np.full((2, 2), -3.0, np.float32)], -1))
             minpts.append(np.asarray([-100.0, -100.0], np.float32))
             dxdys.append(np.asarray([0.4, 0.4], np.float32))
 
@@ -136,6 +144,10 @@ def build_motion_lib(model: cm.CharModel,
     hf_pad = np.stack([
         np.pad(h, ((0, ht - h.shape[0]), (0, wt - h.shape[1])), mode="edge")
         for h in hfs])
+    mm_pad = np.stack([
+        np.pad(m_, ((0, ht - m_.shape[0]), (0, wt - m_.shape[1]), (0, 0)),
+               mode="edge")
+        for m_ in maxmins])
 
     w = (np.asarray(weights, np.float64) if weights is not None
          else np.ones(len(motions)))
@@ -157,6 +169,7 @@ def build_motion_lib(model: cm.CharModel,
         weights=jnp.asarray(w, dtype),
         root_pos_delta=jnp.asarray(np.stack(deltas), dtype),
         terrain_hf=jnp.asarray(hf_pad),
+        terrain_maxmin=jnp.asarray(mm_pad),
         terrain_min_point=jnp.asarray(np.stack(minpts)),
         terrain_dxdy=jnp.asarray(dxdys[0]),
     )

@@ -1,0 +1,348 @@
+"""Motion Diffusion Model: training and sampling.
+
+Terrain-conditioned motion diffusion with predict-x0 parameterization,
+cosine schedule (1001 steps), classifier-free condition dropout, geometric
+losses (velocity, FK body-position consistency, heightfield collision,
+target direction), EMA weights, and DDPM/DDIM samplers.
+
+Reference parity: diffusion/mdm.py:110-1651 (training loop :1238-1335,
+losses :617-754, DDPM :1115-1145, DDIM :1156-1216, CFG :1032-1065);
+hyperparameter defaults from PARC/train_gen_default.yaml.
+
+TPU-first departures: the whole train step — window sampling, hf
+augmentation, diffusion, loss, AdamW update, EMA — is one jitted SPMD
+program; batch shards over the 'data' mesh axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.anim import motion_lib as ml
+from parc_tpu.diffusion import sampler as sampler_lib
+from parc_tpu.diffusion import schedules
+from parc_tpu.diffusion.transformer import MDMTransformer
+from parc_tpu.utils import rotation as rot
+
+
+@dataclasses.dataclass(frozen=True)
+class MDMConfig:
+    diffusion_timesteps: int = 1001
+    batch_size: int = 64
+    lr: float = 1e-5
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    ema_decay: float = 0.99
+    ema_start: int = 200
+
+    # network
+    d_model: int = 1024
+    num_heads: int = 16
+    d_hid: int = 1024
+    num_layers: int = 6
+    dropout: float = 0.1
+
+    # condition dropout (classifier-free guidance training)
+    hf_dropout: float = 0.1
+    target_dropout: float = 0.025
+    prev_state_dropout: float = 0.1
+    prev_state_noise_chance: float = 0.5
+
+    # loss weights (reference: train_gen_default.yaml w_*)
+    w_simple_root_pos: float = 1.0
+    w_simple_root_rot: float = 1.0
+    w_simple_joint_rot: float = 0.5
+    w_simple_contacts: float = 1.0
+    w_simple_body_pos: float = 0.5
+    w_body_pos_consistency: float = 1.0
+    w_vel_root_pos: float = 0.5
+    w_vel_root_rot: float = 0.02
+    w_vel_joint_rot: float = 0.01
+    w_target: float = 0.02
+    w_hf: float = 15.0
+
+
+@struct.dataclass
+class MDMState:
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    mean: jax.Array   # (total_frames, frame_dim)
+    std: jax.Array
+    rng: jax.Array
+    step: jax.Array
+
+
+class MDM:
+    """Static model wrapper; all mutable state in MDMState."""
+
+    def __init__(self, model: cm.CharModel, cfg: MDMConfig = MDMConfig(),
+                 sampler_cfg: sampler_lib.SamplerConfig
+                 = sampler_lib.SamplerConfig()):
+        self.model = model
+        self.cfg = cfg
+        self.scfg = sampler_cfg
+        self.frame_dim = sampler_cfg.frame_dim(model)
+        self.rates = schedules.make_rates(cfg.diffusion_timesteps)
+        self.net = MDMTransformer(
+            frame_dim=self.frame_dim, seq_len=sampler_cfg.seq_len,
+            num_prev_states=sampler_cfg.num_prev_states,
+            d_model=cfg.d_model, num_heads=cfg.num_heads, d_hid=cfg.d_hid,
+            num_layers=cfg.num_layers, dropout=cfg.dropout)
+        tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+        self.tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+
+    # ------------------------------------------------------------------
+    def init(self, lib: ml.MotionLib, rng: jax.Array,
+             stats_samples: int = 4096) -> MDMState:
+        k_stats, k_net, k_state = jax.random.split(rng, 3)
+        mean, std = sampler_lib.compute_feature_stats(
+            self.model, self.scfg, lib, k_stats, stats_samples)
+        scfg = self.scfg
+        dummy = dict(
+            x_t=jnp.zeros((1, scfg.seq_len, self.frame_dim)),
+            t=jnp.zeros((1,), jnp.int32),
+            prev_states=jnp.zeros((1, scfg.num_prev_states, self.frame_dim)),
+            hf=jnp.zeros((1, scfg.hf_dim_x, scfg.hf_dim_y)),
+            target_dir=jnp.zeros((1, 2)))
+        params = self.net.init(k_net, **dummy)
+        return MDMState(params=params, ema_params=params,
+                        opt_state=self.tx.init(params), mean=mean, std=std,
+                        rng=k_state, step=jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _standardize(self, state: MDMState, frames, prev_states):
+        np_ = self.scfg.num_prev_states
+        f = (frames - state.mean[np_:]) / state.std[np_:]
+        p = (prev_states - state.mean[:np_]) / state.std[:np_]
+        return f, p
+
+    def _unstandardize_frames(self, state: MDMState, frames):
+        np_ = self.scfg.num_prev_states
+        return frames * state.std[np_:] + state.mean[np_:]
+
+    # ------------------------------------------------------------------
+    def _geometric_losses(self, state: MDMState, pred_std, gt_std,
+                          batch: sampler_lib.WindowBatch):
+        """All losses in unstandardized (canonical) space."""
+        cfg = self.cfg
+        scfg = self.scfg
+        pred = self._unstandardize_frames(state, pred_std)
+        gt = self._unstandardize_frames(state, gt_std)
+        p = sampler_lib.split_features(self.model, pred)
+        g = sampler_lib.split_features(self.model, gt)
+
+        losses = {}
+        losses["simple_root_pos"] = cfg.w_simple_root_pos * jnp.mean(
+            (p["root_pos"] - g["root_pos"])**2)
+        losses["simple_root_rot"] = cfg.w_simple_root_rot * jnp.mean(
+            (p["root_rot"] - g["root_rot"])**2)
+        losses["simple_joint_rot"] = cfg.w_simple_joint_rot * jnp.mean(
+            (p["dof"] - g["dof"])**2)
+        losses["simple_body_pos"] = cfg.w_simple_body_pos * jnp.mean(
+            (p["joint_pos"] - g["joint_pos"])**2)
+        losses["simple_contacts"] = cfg.w_simple_contacts * jnp.mean(
+            (p["contacts"] - g["contacts"])**2)
+
+        # velocity consistency across frames
+        def vel(x):
+            return x[:, 1:] - x[:, :-1]
+        losses["vel_root_pos"] = cfg.w_vel_root_pos * jnp.mean(
+            (vel(p["root_pos"]) - vel(g["root_pos"]))**2)
+        losses["vel_root_rot"] = cfg.w_vel_root_rot * jnp.mean(
+            (vel(p["root_rot"]) - vel(g["root_rot"]))**2)
+        losses["vel_joint_rot"] = cfg.w_vel_joint_rot * jnp.mean(
+            (vel(p["dof"]) - vel(g["dof"]))**2)
+
+        # FK consistency: body positions implied by predicted dofs must
+        # match the predicted joint_pos features
+        joint_rot = cm.dof_to_rot(self.model, p["dof"])
+        root_quat = rot.exp_map_to_quat(p["root_rot"])
+        body_pos, _ = cm.forward_kinematics(self.model, p["root_pos"],
+                                            root_quat, joint_rot)
+        fk_joint_pos = (body_pos[..., 1:, :] - p["root_pos"][..., None, :])
+        fk_flat = fk_joint_pos.reshape(fk_joint_pos.shape[:-2] + (-1,))
+        losses["body_pos_consistency"] = (
+            cfg.w_body_pos_consistency
+            * jnp.mean((fk_flat - p["joint_pos"])**2))
+
+        # heightfield collision: predicted body points must stay above the
+        # local hf (canonical coords; hf already relative to canon z)
+        abs_body = (p["joint_pos"].reshape(p["joint_pos"].shape[:-1]
+                                           + (self.model.num_bodies - 1, 3))
+                    + p["root_pos"][..., None, :])
+        bx = abs_body[..., 0] / scfg.hf_dx + scfg.hf_num_x_neg
+        by = abs_body[..., 1] / scfg.hf_dx + scfg.hf_num_y
+        ix = jnp.clip(jnp.round(bx).astype(jnp.int32), 0, scfg.hf_dim_x - 1)
+        iy = jnp.clip(jnp.round(by).astype(jnp.int32), 0, scfg.hf_dim_y - 1)
+        hf_at = batch.hf[jnp.arange(batch.hf.shape[0])[:, None, None], ix, iy]
+        pen = jnp.maximum(hf_at - abs_body[..., 2] + 0.05, 0.0)
+        losses["hf_collision"] = cfg.w_hf * jnp.mean(pen**2)
+
+        # target direction: net root xy displacement should follow target
+        disp = p["root_pos"][:, -1, 0:2] - p["root_pos"][:, 0, 0:2]
+        norm = jnp.linalg.norm(disp, axis=-1, keepdims=True)
+        dir_pred = disp / jnp.maximum(norm, 1e-3)
+        has_target = (jnp.linalg.norm(batch.target_dir, axis=-1) > 1e-6)
+        cos = jnp.sum(dir_pred * batch.target_dir, axis=-1)
+        losses["target"] = cfg.w_target * jnp.mean(
+            jnp.where(has_target, 1.0 - cos, 0.0))
+        return losses
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, state: MDMState, batch, rng):
+        cfg = self.cfg
+        b = batch.frames.shape[0]
+        k_t, k_n, k_cd, k_pn, k_drop = jax.random.split(rng, 5)
+
+        gt_std, prev_std = self._standardize(state, batch.frames,
+                                             batch.prev_states)
+        t = jax.random.randint(k_t, (b,), 0, self.rates.num_timesteps)
+        noise = jax.random.normal(k_n, gt_std.shape)
+        x_t = schedules.forward_diffusion(self.rates, gt_std, t, noise)
+
+        # condition dropout masks
+        k1, k2, k3 = jax.random.split(k_cd, 3)
+        hf_mask = (jax.random.uniform(k1, (b,)) > cfg.hf_dropout)
+        tgt_mask = (jax.random.uniform(k2, (b,)) > cfg.target_dropout)
+        prev_mask = (jax.random.uniform(k3, (b,)) > cfg.prev_state_dropout)
+
+        # prev-state noising with indicator (autoregressive robustness)
+        k4, k5, k6 = jax.random.split(k_pn, 3)
+        noised_flag = (jax.random.uniform(k4, (b,))
+                       > cfg.prev_state_noise_chance)
+        t_prev = jax.random.randint(k5, (b,), 0,
+                                    self.rates.num_timesteps // 4)
+        prev_noise = jax.random.normal(k6, prev_std.shape)
+        prev_noisy = schedules.forward_diffusion(self.rates, prev_std,
+                                                 t_prev, prev_noise)
+        prev_in = jnp.where(noised_flag[:, None, None], prev_noisy, prev_std)
+
+        pred = self.net.apply(
+            params, x_t, t, prev_in, batch.hf, batch.target_dir,
+            hf_mask=hf_mask.astype(jnp.float32),
+            target_mask=tgt_mask.astype(jnp.float32),
+            prev_state_mask=prev_mask.astype(jnp.float32),
+            prev_state_noised=noised_flag.astype(jnp.float32),
+            deterministic=False, rngs={"dropout": k_drop})
+
+        losses = self._geometric_losses(state, pred, gt_std, batch)
+        total = sum(losses.values())
+        return total, losses
+
+    # ------------------------------------------------------------------
+    def train_step(self, lib: ml.MotionLib, state: MDMState):
+        """One jitted optimization step (sampling fused in)."""
+        cfg = self.cfg
+        rng, k_batch, k_loss = jax.random.split(state.rng, 3)
+        batch = sampler_lib.sample_batch(self.model, self.scfg, lib, k_batch,
+                                         cfg.batch_size)
+        (total, losses), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(state.params, state, batch, k_loss)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        # EMA after warmup
+        decay = jnp.where(state.step >= cfg.ema_start, cfg.ema_decay, 0.0)
+        ema = jax.tree.map(lambda e, p: decay * e + (1 - decay) * p,
+                           state.ema_params, params)
+        new_state = state.replace(params=params, ema_params=ema,
+                                  opt_state=opt_state, rng=rng,
+                                  step=state.step + 1)
+        metrics = {"total": total, **losses}
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # Sampling
+    # ------------------------------------------------------------------
+
+    def _denoise(self, params, state, x_t, t, prev_std, hf, target_dir,
+                 guidance_scale: float = 1.0, prev_noised=None):
+        b = x_t.shape[0]
+        ones = jnp.ones((b,))
+
+        def call(hf_m, tgt_m, prev_m):
+            return self.net.apply(
+                params, x_t, t, prev_std, hf, target_dir,
+                hf_mask=hf_m, target_mask=tgt_m, prev_state_mask=prev_m,
+                prev_state_noised=prev_noised, deterministic=True)
+
+        cond = call(ones, ones, ones)
+        if guidance_scale == 1.0:
+            return cond
+        uncond = call(ones, jnp.zeros((b,)), jnp.zeros((b,)))
+        return uncond + guidance_scale * (cond - uncond)
+
+    def ddim_sample(self, state: MDMState, rng, prev_states, hf, target_dir,
+                    stride: int = 5, guidance_scale: float = 1.0,
+                    use_ema: bool = True):
+        """DDIM (eta=0) sampling of one 15-frame window (standardized in/out
+        handled internally; returns unstandardized canonical frames)."""
+        params = state.ema_params if use_ema else state.params
+        b = prev_states.shape[0]
+        np_ = self.scfg.num_prev_states
+        prev_std = (prev_states - state.mean[:np_]) / state.std[:np_]
+
+        timesteps = jnp.arange(0, self.rates.num_timesteps, stride)[::-1]
+        x = jax.random.normal(
+            rng, (b, self.scfg.seq_len, self.frame_dim))
+
+        def body(x, idx):
+            t_cur = timesteps[idx]
+            t_batch = jnp.full((b,), t_cur, jnp.int32)
+            x0 = self._denoise(params, state, x, t_batch, prev_std, hf,
+                               target_dir, guidance_scale)
+            ac_t = self.rates.alphas_cumprod[t_cur]
+            t_next = jnp.where(idx + 1 < timesteps.shape[0],
+                               timesteps[jnp.minimum(idx + 1,
+                                                     timesteps.shape[0] - 1)],
+                               -1)
+            ac_next = jnp.where(t_next >= 0,
+                                self.rates.alphas_cumprod[jnp.maximum(t_next,
+                                                                      0)],
+                                1.0)
+            eps = (x - jnp.sqrt(ac_t) * x0) / jnp.sqrt(1.0 - ac_t)
+            x_next = (jnp.sqrt(ac_next) * x0
+                      + jnp.sqrt(jnp.maximum(1.0 - ac_next, 0.0)) * eps)
+            return x_next, None
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(timesteps.shape[0]))
+        return self._unstandardize_frames(state, x)
+
+    def ddpm_sample(self, state: MDMState, rng, prev_states, hf, target_dir,
+                    guidance_scale: float = 1.0, use_ema: bool = True):
+        """Full ancestral DDPM sampling (predict-x0 posterior)."""
+        params = state.ema_params if use_ema else state.params
+        b = prev_states.shape[0]
+        np_ = self.scfg.num_prev_states
+        prev_std = (prev_states - state.mean[:np_]) / state.std[:np_]
+        n = self.rates.num_timesteps
+
+        k_init, k_loop = jax.random.split(rng)
+        x = jax.random.normal(
+            k_init, (b, self.scfg.seq_len, self.frame_dim))
+
+        def body(carry, t_rev):
+            x, key = carry
+            t_cur = n - 1 - t_rev
+            key, k_n = jax.random.split(key)
+            t_batch = jnp.full((b,), t_cur, jnp.int32)
+            x0 = self._denoise(params, state, x, t_batch, prev_std, hf,
+                               target_dir, guidance_scale)
+            mean = (self.rates.posterior_mean_x0_coef[t_cur] * x0
+                    + self.rates.posterior_mean_xt_coef[t_cur] * x)
+            logvar = self.rates.posterior_log_variance_clipped[t_cur]
+            noise = jax.random.normal(k_n, x.shape)
+            x = mean + jnp.where(t_cur > 0,
+                                 jnp.exp(0.5 * logvar), 0.0) * noise
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(body, (x, k_loop), jnp.arange(n))
+        return self._unstandardize_frames(state, x)
