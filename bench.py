@@ -22,6 +22,11 @@ ROLLOUT_STEPS = int(os.environ.get("BENCH_STEPS", 64))
 
 def main():
     import jax
+    try:  # persistent compile cache (helps repeated driver runs)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from parc_tpu.anim import motion_lib as ml

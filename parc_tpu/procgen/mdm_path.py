@@ -1,0 +1,169 @@
+"""Autoregressive MDM rollouts along an A* path.
+
+Generates long parkour motions by chaining 15-frame MDM windows: each
+iteration rewinds a few frames, conditions on the last two, targets a path
+node ahead of the rollout's progress, and appends the newly generated
+window.  A batch of B rollouts runs in one jitted device program per
+iteration; only the done-check and node bookkeeping touch the host.
+
+Reference parity: tools/procgen/mdm_path.py:19-376 (generation loop
+:226-321, scoring :322-376).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.diffusion import gen as gen_lib
+from parc_tpu.diffusion.mdm import MDM, MDMState
+from parc_tpu.utils import rotation as rot
+from parc_tpu.utils import terrain as terrain_lib
+
+
+@dataclasses.dataclass
+class PathGenSettings:
+    batch_size: int = 32
+    rewind_frames: int = 5
+    lookahead_nodes: int = 7
+    done_dist: float = 0.5
+    max_seconds: float = 10.0
+    fps: float = 30.0
+    settings: gen_lib.GenSettings = dataclasses.field(
+        default_factory=gen_lib.GenSettings)
+
+
+@dataclasses.dataclass
+class PathGenResult:
+    frames34: np.ndarray      # (B, T, 34)
+    contacts: np.ndarray      # (B, T, num_bodies)
+    lengths: np.ndarray       # (B,) valid frame counts
+    contact_loss: np.ndarray  # (B,)
+    pen_loss: np.ndarray      # (B,)
+    total_loss: np.ndarray    # (B,)
+
+
+def _feet_xy(model: cm.CharModel, frames34: jax.Array,
+             foot_ids) -> jax.Array:
+    root_pos = frames34[..., 0:3]
+    root_rot = rot.exp_map_to_quat(frames34[..., 3:6])
+    joint_rot = cm.dof_to_rot(model, frames34[..., 6:])
+    body_pos, _ = cm.forward_kinematics(model, root_pos, root_rot, joint_rot)
+    return jnp.mean(body_pos[..., foot_ids, :], axis=-2)
+
+
+def generate_frames_along_path(mdm: MDM, state: MDMState,
+                               terrain: terrain_lib.Terrain,
+                               path_nodes: np.ndarray,
+                               start_frames34: np.ndarray,
+                               start_contacts: np.ndarray,
+                               rng: jax.Array,
+                               cfg: PathGenSettings = PathGenSettings()
+                               ) -> PathGenResult:
+    """Roll B parallel motions from the path start to its final node.
+
+    Args:
+      path_nodes: (N, 3) world xyz nodes from A*.
+      start_frames34: (num_prev, 34) initial pose frames at the path start.
+      start_contacts: (num_prev, num_bodies).
+    """
+    model = mdm.model
+    b = cfg.batch_size
+    np_prev = mdm.scfg.num_prev_states
+    seq = mdm.scfg.seq_len
+    max_frames = int(cfg.max_seconds * cfg.fps)
+    names = list(model.body_names)
+    foot_ids = jnp.asarray([names.index("right_foot"),
+                            names.index("left_foot")], jnp.int32)
+
+    nodes = jnp.asarray(path_nodes)
+    frames = jnp.broadcast_to(
+        jnp.asarray(start_frames34)[None], (b, np_prev, 34)).copy()
+    contacts = jnp.broadcast_to(
+        jnp.asarray(start_contacts)[None],
+        (b, np_prev, model.num_bodies)).copy()
+
+    gen_step = jax.jit(
+        lambda key, prev_f, prev_c, tgt: gen_lib.gen_mdm_motion(
+            mdm, state, key, prev_f, prev_c, terrain, tgt,
+            settings=cfg.settings))
+
+    closest = np.zeros((b,), np.int64)
+    done = np.zeros((b,), bool)
+    done_len = np.full((b,), -1, np.int64)
+
+    while frames.shape[1] < max_frames and not done.all():
+        # rewind (drop the last few frames — they tend to degrade)
+        if frames.shape[1] > np_prev + cfg.rewind_frames:
+            frames = frames[:, :-cfg.rewind_frames]
+            contacts = contacts[:, :-cfg.rewind_frames]
+        prev_f = frames[:, -np_prev:]
+        prev_c = contacts[:, -np_prev:]
+
+        tgt_idx = np.minimum(closest + cfg.lookahead_nodes,
+                             len(path_nodes) - 1)
+        target_xy = nodes[jnp.asarray(tgt_idx), 0:2]
+
+        rng, key = jax.random.split(rng)
+        new_f, new_c = gen_step(key, prev_f, prev_c, target_xy)
+        frames = jnp.concatenate([frames, new_f], axis=1)
+        contacts = jnp.concatenate([contacts, new_c], axis=1)
+
+        # progress bookkeeping on host
+        feet = np.asarray(_feet_xy(model, frames[:, -1], foot_ids))
+        d_nodes = np.linalg.norm(
+            np.asarray(nodes)[None, :, 0:2] - feet[:, None, 0:2], axis=-1)
+        closest = np.maximum(closest, d_nodes.argmin(axis=1))
+        end_d = np.linalg.norm(
+            np.asarray(nodes)[-1, 0:2] - feet[:, 0:2], axis=-1)
+        newly_done = (~done) & (end_d < cfg.done_dist)
+        done_len[newly_done] = frames.shape[1]
+        done |= newly_done
+
+    done_len[done_len < 0] = frames.shape[1]
+
+    c_loss, p_loss = score_rollouts(mdm, terrain, frames, contacts)
+    return PathGenResult(
+        frames34=np.asarray(frames), contacts=np.asarray(contacts),
+        lengths=done_len,
+        contact_loss=np.asarray(c_loss), pen_loss=np.asarray(p_loss),
+        total_loss=np.asarray(c_loss + p_loss))
+
+
+def score_rollouts(mdm: MDM, terrain: terrain_lib.Terrain,
+                   frames34: jax.Array, contacts: jax.Array):
+    """Contact + penetration losses for ranking rollouts (reference:
+    tools/procgen/mdm_path.py:31-127)."""
+    model = mdm.model
+    root_pos = frames34[..., 0:3]
+    root_rot = rot.exp_map_to_quat(frames34[..., 3:6])
+    joint_rot = cm.dof_to_rot(model, frames34[..., 6:])
+    body_pos, body_rot = cm.forward_kinematics(model, root_pos, root_rot,
+                                               joint_rot)
+    # contact points on all bodies
+    bidx = model.contact_point_body
+    pts = (body_pos[..., bidx, :]
+           + rot.quat_rotate(body_rot[..., bidx, :],
+                             jnp.broadcast_to(model.contact_point_offset,
+                                              body_pos[..., bidx, :].shape)))
+    ground = terrain_lib.get_hf_val(terrain, pts[..., 0:2])
+    h_above = pts[..., 2] - model.contact_point_radius - ground
+
+    # penetration: points below the surface
+    pen = jnp.maximum(-h_above, 0.0)
+    pen_loss = jnp.sum(jnp.mean(pen**2, axis=-1), axis=-1)
+
+    # contact: flagged-contact bodies should be near the surface
+    onehot = jax.nn.one_hot(bidx, model.num_bodies)
+    body_min_h = jnp.min(
+        jnp.where(onehot.T[None, None] > 0, h_above[..., None, :], jnp.inf),
+        axis=-1)
+    tagged = contacts > 0.5
+    cdist = jnp.where(tagged, jnp.maximum(body_min_h, 0.0), 0.0)
+    contact_loss = jnp.sum(jnp.mean(cdist**2, axis=-1), axis=-1)
+    return contact_loss, pen_loss

@@ -1,0 +1,157 @@
+"""Tests for A*, motion editing, and motion optimization tools."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.anim import motion_edit
+from parc_tpu.data.humanoid import humanoid_spec
+from parc_tpu.data.synthetic import walking_clip
+from parc_tpu.procgen import astar
+from parc_tpu.utils import terrain as terrain_lib
+from parc_tpu.utils import rotation as rot
+
+
+@pytest.fixture(scope="module")
+def model():
+    return humanoid_spec().build()
+
+
+# ---------------------------------------------------------------------------
+# A*
+# ---------------------------------------------------------------------------
+
+
+def test_astar_flat():
+    hf = np.zeros((20, 20), np.float32)
+    path = astar.run_a_star(hf, np.asarray([0.4, 0.4]), (2, 2), (17, 17))
+    assert path is not None
+    assert tuple(path[0, :2]) == (2, 2)
+    assert tuple(path[-1, :2]) == (17, 17)
+    # steps are 8-connected
+    d = np.abs(np.diff(path[:, :2], axis=0)).max(axis=1)
+    assert np.all(d <= 1)
+
+
+def test_astar_wall_detour():
+    hf = np.zeros((20, 20), np.float32)
+    hf[10, :15] = 5.0  # wall with a gap at the right
+    path = astar.run_a_star(hf, np.asarray([0.4, 0.4]), (2, 2), (17, 2))
+    assert path is not None
+    crossing = path[path[:, 0] == 10]
+    assert np.all(crossing[:, 1] >= 15)  # went around via the gap
+
+
+def test_astar_jump_across_gap():
+    hf = np.zeros((20, 20), np.float32)
+    hf[9:11, :] = -3.0  # 0.8 m-wide chasm across the whole map
+    settings = astar.AStarSettings(max_jump_dist=2.0, min_jump_gap=0.8)
+    path = astar.run_a_star(hf, np.asarray([0.4, 0.4]), (2, 5), (17, 5),
+                            settings)
+    assert path is not None
+    assert np.any(path[:, 2] == 1)  # used a jump edge
+    # never stands in the chasm
+    assert not np.any((path[:, 0] >= 9) & (path[:, 0] <= 10))
+
+
+def test_astar_unreachable():
+    hf = np.zeros((12, 12), np.float32)
+    hf[6, :] = 10.0
+    path = astar.run_a_star(hf, np.asarray([0.4, 0.4]), (2, 2), (10, 10),
+                            astar.AStarSettings(max_jump_dist=0.0))
+    assert path is None
+
+
+# ---------------------------------------------------------------------------
+# Motion editing
+# ---------------------------------------------------------------------------
+
+
+def test_mirror_involution(model):
+    clip = walking_clip(seed=3)
+    f = jnp.asarray(clip.frames)
+    c = jnp.asarray(clip.contacts)
+    f1, c1 = motion_edit.flip_motion_about_xz(model, f, c)
+    f2, c2 = motion_edit.flip_motion_about_xz(model, f1, c1)
+    # mirroring twice = identity (up to exp-map wrap)
+    np.testing.assert_allclose(np.asarray(f2[:, 0:3]),
+                               np.asarray(f[:, 0:3]), atol=1e-5)
+    q_a = rot.exp_map_to_quat(f[:, 3:6])
+    q_b = rot.exp_map_to_quat(f2[:, 3:6])
+    dots = np.abs(np.sum(np.asarray(q_a) * np.asarray(q_b), -1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c), atol=1e-6)
+
+
+def test_mirror_preserves_fk_geometry(model):
+    """Mirrored motion's body positions are the mirror of the originals
+    (with left/right bodies swapped)."""
+    clip = walking_clip(seed=4)
+    f = jnp.asarray(clip.frames[:5])
+    fm, _ = motion_edit.flip_motion_about_xz(model, f, None)
+
+    def fk(fr):
+        return cm.forward_kinematics(
+            model, fr[:, 0:3], rot.exp_map_to_quat(fr[:, 3:6]),
+            cm.dof_to_rot(model, fr[:, 6:]))[0]
+
+    pos = np.asarray(fk(f))
+    pos_m = np.asarray(fk(fm))
+    pairs = dict(motion_edit._mirror_pairs(model))
+    swap = np.arange(model.num_bodies)
+    for i, j in pairs.items():
+        swap[i], swap[j] = j, i
+    mirrored = pos[:, swap] * np.asarray([1, -1, 1])
+    np.testing.assert_allclose(pos_m, mirrored, atol=1e-4)
+
+
+def test_resample_fps(model):
+    clip = walking_clip(seed=5)
+    out = motion_edit.resample_fps(model, jnp.asarray(clip.frames), 30, 60)
+    assert out.shape[0] == 2 * clip.frames.shape[0] - 1
+    np.testing.assert_allclose(np.asarray(out[0]), clip.frames[0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[-1]), clip.frames[-1],
+                               atol=1e-3)
+
+
+def test_compute_contacts_standing(model):
+    terrain = terrain_lib.create_terrain(24, 24, dx=0.4, min_x=-4.8,
+                                         min_y=-4.8)
+    frames = np.zeros((3, 34), np.float32)
+    frames[:, 2] = 0.88  # feet at the ground
+    c = np.asarray(motion_edit.compute_contacts(
+        model, terrain, jnp.asarray(frames), eps=0.06))
+    assert np.all(c[:, 11] == 1.0) and np.all(c[:, 14] == 1.0)  # feet
+    assert np.all(c[:, 0] == 0.0)  # pelvis
+
+
+def test_remove_hesitation():
+    frames = np.zeros((60, 34), np.float32)
+    frames[:20, 0] = np.linspace(0, 2, 20)      # moving
+    frames[20:50, 0] = 2.0                      # frozen 30 frames
+    frames[50:, 0] = np.linspace(2, 3, 10)      # moving
+    out, _ = motion_edit.remove_hesitation_frames(frames, None)
+    assert 30 < len(out) < 55
+
+
+def test_motion_opt_reduces_penetration(model):
+    from parc_tpu.opt.motion_opt import (MotionOptConfig,
+                                         motion_contact_optimization)
+    terrain = terrain_lib.create_terrain(24, 24, dx=0.4, min_x=-4.8,
+                                         min_y=-4.8)
+    clip = walking_clip(seed=6, n=20)
+    frames = jnp.asarray(clip.frames)
+    # sink the motion so feet penetrate the ground
+    frames = frames.at[:, 2].add(-0.1)
+    cfg = MotionOptConfig(iters=150)
+    from parc_tpu.opt import motion_opt as mo
+    _, losses0 = (lambda: (None, {
+        k: float(v) for k, v in mo.motion_opt_loss(
+            model, cfg, terrain, frames, frames,
+            jnp.asarray(clip.contacts))[1].items()}))()
+    out, losses = motion_contact_optimization(
+        model, terrain, frames, jnp.asarray(clip.contacts), cfg)
+    assert losses["penetration"] < losses0["penetration"] * 0.5
+    assert np.all(np.isfinite(np.asarray(out)))
