@@ -153,11 +153,27 @@ class DeepMimicEnv:
         return motion_ids, times, sim
 
     def reset(self, lib: ml.MotionLib, rng: jax.Array,
-              num_envs: Optional[int] = None) -> EnvState:
+              num_envs: Optional[int] = None,
+              motion_ids: Optional[jax.Array] = None,
+              start_times: Optional[jax.Array] = None) -> EnvState:
+        """Full reset; pass motion_ids/start_times for demo/record mode
+        (reference: demo_mode motion_id = env_id)."""
         n = num_envs or self.cfg.num_envs
         rng, sub = jax.random.split(rng)
         fail_rates = jnp.full((lib.num_motions,), 0.5)
-        motion_ids, times, sim = self._sample_reset(lib, sub, n, fail_rates)
+        if motion_ids is not None:
+            times = (jnp.zeros((n,)) if start_times is None else start_times)
+            frame = ml.calc_motion_frame(lib, motion_ids, times)
+            sim = engine.create_state(
+                self.model,
+                root_pos=frame.root_pos.at[..., 2].add(
+                    self.cfg.ref_height_buffer),
+                root_rot=frame.root_rot, joint_rot=frame.joint_rot,
+                root_vel=frame.root_vel, root_ang_vel=frame.root_ang_vel,
+                dof_vel=frame.dof_vel)
+        else:
+            motion_ids, times, sim = self._sample_reset(lib, sub, n,
+                                                        fail_rates)
         state = EnvState(
             sim=sim,
             obs=jnp.zeros((n, self.obs_dim)),

@@ -1,0 +1,196 @@
+"""PARC-TPU pipeline CLI.
+
+Stages (mirroring the reference's parc_0..parc_5 scripts + run.py):
+
+    python -m parc_tpu.pipeline.cli create_dataset --motions_dir D --out m.yaml
+    python -m parc_tpu.pipeline.cli train_mdm --dataset m.yaml --out_dir O
+    python -m parc_tpu.pipeline.cli kin_gen --mdm_dir O --out_dir K -n 50
+    python -m parc_tpu.pipeline.cli train_tracker --dataset m.yaml --out_dir T
+    python -m parc_tpu.pipeline.cli record --dataset m.yaml --tracker_dir T
+    python -m parc_tpu.pipeline.cli setup_iter --root R --iter N
+
+Any flag can also come from a YAML file via --config (flags win).
+Reference parity: run.py:95-164, parc_0_setup_iter.py, parc_1..5 scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import yaml
+
+
+def _dataclass_from_dict(cls, d: dict):
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+def _load_config(args) -> dict:
+    cfg = {}
+    if args.config:
+        with open(args.config) as f:
+            cfg = yaml.safe_load(f) or {}
+    for k, v in vars(args).items():
+        if v is not None and k not in ("config", "stage"):
+            cfg[k] = v
+    return cfg
+
+
+def _build_model():
+    from parc_tpu.data.humanoid import humanoid_spec
+    return humanoid_spec().build()
+
+
+def stage_create_dataset(cfg: dict):
+    from parc_tpu.pipeline import dataset
+    out = dataset.create_dataset_yaml(
+        cfg["motions_dir"], cfg.get("out", "output/motions.yaml"),
+        _dataclass_from_dict(dataset.DatasetConfig, cfg))
+    print(f"wrote {out}")
+
+
+def stage_train_mdm(cfg: dict):
+    import jax
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.pipeline import dataset, train_mdm
+    model = _build_model()
+    lib = dataset.load_dataset(model, cfg["dataset"])
+    mdm = MDM(model, _dataclass_from_dict(MDMConfig, cfg))
+    tcfg = _dataclass_from_dict(train_mdm.MDMTrainerConfig, cfg)
+    if cfg.get("out_dir"):
+        tcfg = dataclasses.replace(tcfg, output_dir=cfg["out_dir"])
+    train_mdm.train(mdm, lib, tcfg, seed=cfg.get("seed", 0),
+                    max_epochs=cfg.get("max_epochs"))
+
+
+def stage_kin_gen(cfg: dict):
+    import jax
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.pipeline import dataset, kin_gen
+    from parc_tpu.utils import checkpoint as ckpt_lib
+    model = _build_model()
+    lib = dataset.load_dataset(model, cfg["dataset"])
+    mdm = MDM(model, _dataclass_from_dict(MDMConfig, cfg))
+    state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=512)
+    mdm_dir = cfg.get("mdm_dir")
+    if mdm_dir:
+        state = ckpt_lib.restore(f"{mdm_dir}/checkpoints", state)
+    paths = kin_gen.run_kin_gen(
+        mdm, state, cfg.get("num_motions", 10),
+        cfg.get("out_dir", "output/kin_gen"),
+        _dataclass_from_dict(kin_gen.KinGenConfig, cfg),
+        seed=cfg.get("seed", 0))
+    print(f"generated {len(paths)} clips")
+
+
+def stage_train_tracker(cfg: dict):
+    from parc_tpu.envs.base import EnvConfig
+    from parc_tpu.envs.deepmimic import DeepMimicEnv
+    from parc_tpu.learning.ppo import PPOAgent, PPOConfig
+    from parc_tpu.physics import engine
+    from parc_tpu.pipeline import dataset, train_tracker
+    model = _build_model()
+    lib = dataset.load_dataset(model, cfg["dataset"])
+    env = DeepMimicEnv(model,
+                       _dataclass_from_dict(engine.SimParams, cfg)
+                       if hasattr(engine.SimParams, "__dataclass_fields__")
+                       else engine.SimParams(),
+                       _dataclass_from_dict(EnvConfig, cfg))
+    agent = PPOAgent(env, _dataclass_from_dict(PPOConfig, cfg))
+    tcfg = _dataclass_from_dict(train_tracker.TrainerConfig, cfg)
+    if cfg.get("out_dir"):
+        tcfg = dataclasses.replace(tcfg, output_dir=cfg["out_dir"])
+    train_tracker.train(agent, lib, tcfg, seed=cfg.get("seed", 0),
+                        max_iters=cfg.get("max_iters"))
+
+
+def stage_record(cfg: dict):
+    import jax
+    from parc_tpu.envs.base import EnvConfig
+    from parc_tpu.envs.deepmimic import DeepMimicEnv
+    from parc_tpu.learning.ppo import PPOAgent, PPOConfig
+    from parc_tpu.physics import engine
+    from parc_tpu.pipeline import dataset, record
+    from parc_tpu.utils import checkpoint as ckpt_lib
+    model = _build_model()
+    lib = dataset.load_dataset(model, cfg["dataset"])
+    env_cfg = _dataclass_from_dict(EnvConfig, cfg)
+    env_cfg = dataclasses.replace(env_cfg, num_envs=lib.num_motions,
+                                  rand_reset=False)
+    env = DeepMimicEnv(model, engine.SimParams(), env_cfg)
+    agent = PPOAgent(env, _dataclass_from_dict(PPOConfig, cfg))
+    state = agent.init(lib, jax.random.PRNGKey(0))
+    state = ckpt_lib.restore(f"{cfg['tracker_dir']}/checkpoints", state)
+    rcfg = _dataclass_from_dict(record.RecordConfig, cfg)
+    results = record.record_motions(agent, lib, state, rcfg)
+    paths = record.save_recorded(results,
+                                 cfg.get("out_dir", "output/recorded"))
+    print(f"recorded {len(paths)}/{lib.num_motions} motions")
+
+
+def stage_setup_iter(cfg: dict):
+    """Write the per-iteration stage configs chaining output dirs
+    (reference: parc_0_setup_iter.py)."""
+    root = cfg.get("root", "output/parc")
+    it = int(cfg.get("iter", 0))
+    base = os.path.join(root, f"iter_{it}")
+    os.makedirs(base, exist_ok=True)
+    stages = {
+        "train_mdm": {"dataset": os.path.join(base, "motions.yaml"),
+                      "out_dir": os.path.join(base, "mdm")},
+        "kin_gen": {"dataset": os.path.join(base, "motions.yaml"),
+                    "mdm_dir": os.path.join(base, "mdm"),
+                    "out_dir": os.path.join(base, "kin_gen"),
+                    "num_motions": cfg.get("num_motions", 50)},
+        "train_tracker": {"dataset": os.path.join(base, "motions+gen.yaml"),
+                          "out_dir": os.path.join(base, "tracker")},
+        "record": {"dataset": os.path.join(base, "motions+gen.yaml"),
+                   "tracker_dir": os.path.join(base, "tracker"),
+                   "out_dir": os.path.join(base, "recorded")},
+        "create_dataset": {"motions_dir": os.path.join(base, "recorded"),
+                           "out": os.path.join(root, f"iter_{it + 1}",
+                                               "motions.yaml")},
+    }
+    for name, scfg in stages.items():
+        path = os.path.join(base, f"{name}.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(scfg, f)
+        print(f"wrote {path}")
+
+
+STAGES = {
+    "create_dataset": stage_create_dataset,
+    "train_mdm": stage_train_mdm,
+    "kin_gen": stage_kin_gen,
+    "train_tracker": stage_train_tracker,
+    "record": stage_record,
+    "setup_iter": stage_setup_iter,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="parc_tpu.pipeline")
+    p.add_argument("stage", choices=sorted(STAGES))
+    p.add_argument("--config", default=None)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--motions_dir", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--mdm_dir", default=None)
+    p.add_argument("--tracker_dir", default=None)
+    p.add_argument("--root", default=None)
+    p.add_argument("--iter", type=int, default=None)
+    p.add_argument("--num_motions", "-n", type=int, default=None)
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--max_iters", type=int, default=None)
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+    STAGES[args.stage](_load_config(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Kinematic generation stage (parc_2).
+
+Per generated motion: procgen a terrain (boxes / paths / stairs or a slice
+of a file terrain) -> simplify -> A* plan -> batched autoregressive MDM
+rollouts along the path -> filter by contact/penetration losses -> contact
+optimization of the top-k -> save (plus mirrored copies) with terrain masks.
+
+Reference parity: parc_2_kin_gen.py:90-523.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.anim import motion_data as md
+from parc_tpu.anim import motion_edit
+from parc_tpu.diffusion.mdm import MDM, MDMState
+from parc_tpu.opt import motion_opt
+from parc_tpu.procgen import astar, mdm_path
+from parc_tpu.utils import rotation as rot
+from parc_tpu.utils import terrain as terrain_lib
+
+
+@dataclasses.dataclass
+class KinGenConfig:
+    terrain_style: str = "boxes"        # boxes | paths | stairs
+    terrain_dim: int = 16
+    terrain_dx: float = 0.4
+    num_rollouts: int = 32
+    top_k: int = 2
+    max_contact_loss: float = 3.0
+    max_pen_loss: float = 8.0
+    max_total_loss: float = 30.0
+    max_retries: int = 3
+    optimize: bool = True
+    mirror: bool = True
+    opt_cfg: motion_opt.MotionOptConfig = dataclasses.field(
+        default_factory=lambda: motion_opt.MotionOptConfig(iters=500))
+    path_cfg: mdm_path.PathGenSettings = dataclasses.field(
+        default_factory=mdm_path.PathGenSettings)
+
+
+def gen_terrain(cfg: KinGenConfig, rng: np.random.Generator) -> np.ndarray:
+    hf = np.zeros((cfg.terrain_dim * 2, cfg.terrain_dim * 2), np.float32)
+    if cfg.terrain_style == "boxes":
+        hf = terrain_lib.add_boxes(rng, hf, num_boxes=16,
+                                   box_min_height=-1.0, box_max_height=1.5,
+                                   box_min_len=2, box_max_len=8)
+    elif cfg.terrain_style == "stairs":
+        hf = terrain_lib.add_stairs(rng, hf)
+    elif cfg.terrain_style == "paths":
+        hf = terrain_lib.gen_curvy_paths(rng, hf)
+    else:
+        raise ValueError(cfg.terrain_style)
+    return hf
+
+
+def default_start_frames(model: cm.CharModel, start_xyz: np.ndarray,
+                         heading: float, num_prev: int = 2) -> np.ndarray:
+    """Standing prev-state frames at a path start."""
+    frames = np.zeros((num_prev, 34), np.float32)
+    frames[:, 0:2] = start_xyz[0:2]
+    frames[:, 2] = start_xyz[2] + 0.94
+    frames[:, 5] = heading  # exp-map about z = heading
+    return frames
+
+
+def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
+                           seed: int) -> List[md.MotionData]:
+    """Generate one terrain and up to top_k motions crossing it."""
+    model = mdm.model
+    rng_np = np.random.default_rng(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    for attempt in range(cfg.max_retries):
+        hf = gen_terrain(cfg, rng_np)
+        dxdy = np.asarray([cfg.terrain_dx, cfg.terrain_dx], np.float32)
+        terrain = terrain_lib.Terrain(
+            hf=jnp.asarray(hf),
+            hf_mask=jnp.zeros(hf.shape, bool),
+            hf_maxmin=jnp.stack([jnp.asarray(hf) + 3.0,
+                                 jnp.asarray(hf) - 3.0], -1),
+            min_point=jnp.zeros(2), dxdy=jnp.asarray(dxdy))
+        # simplify for planning
+        plan_hf = np.asarray(terrain_lib.flat_maxpool_2x2(terrain).hf)
+
+        start, goal = astar.pick_start_end_on_edges(plan_hf, rng_np)
+        path = astar.run_a_star(plan_hf, dxdy, start, goal, rng=rng_np)
+        if path is None:
+            continue
+        nodes = astar.path_to_world(path, np.zeros(2), dxdy, hf)
+
+        d0 = nodes[min(3, len(nodes) - 1), 0:2] - nodes[0, 0:2]
+        heading = float(np.arctan2(d0[1], d0[0]))
+        start_frames = default_start_frames(model, nodes[0], heading)
+        start_contacts = np.zeros((start_frames.shape[0],
+                                   model.num_bodies), np.float32)
+        start_contacts[:, [11, 14]] = 1.0
+
+        rng, key = jax.random.split(rng)
+        result = mdm_path.generate_frames_along_path(
+            mdm, state, terrain, nodes, start_frames, start_contacts, key,
+            cfg.path_cfg)
+
+        ok = ((result.contact_loss < cfg.max_contact_loss)
+              & (result.pen_loss < cfg.max_pen_loss)
+              & (result.total_loss < cfg.max_total_loss))
+        order = np.argsort(result.total_loss)
+        keep = [i for i in order if ok[i]][:cfg.top_k]
+        if not keep:
+            continue
+
+        host_terrain = md.HostTerrain(hf=hf, min_point=np.zeros(2,
+                                                                np.float32),
+                                      dxdy=dxdy)
+        clips = []
+        for i in keep:
+            t = int(result.lengths[i])
+            frames = jnp.asarray(result.frames34[i, :t])
+            contacts = jnp.asarray(result.contacts[i, :t])
+            if cfg.optimize:
+                frames, _ = motion_opt.motion_contact_optimization(
+                    model, terrain, frames, contacts, cfg.opt_cfg)
+            f_np, c_np = motion_edit.remove_hesitation_frames(
+                np.asarray(frames), np.asarray(contacts))
+            # terrain masks for future augmentation
+            dev_t = host_terrain.to_device()
+            body_pts = _motion_body_points(model, jnp.asarray(f_np))
+            aug = terrain_lib.compute_hf_maxmin(dev_t, body_pts)
+            clip_terrain = md.HostTerrain(
+                hf=hf, min_point=np.zeros(2, np.float32), dxdy=dxdy,
+                hf_mask=np.asarray(aug.hf_mask),
+                hf_maxmin=np.asarray(aug.hf_maxmin))
+            clips.append(md.MotionData(
+                frames=f_np.astype(np.float32), fps=cfg.path_cfg.fps,
+                contacts=None if c_np is None else c_np.astype(np.float32),
+                terrain=clip_terrain))
+            if cfg.mirror:
+                fm, cm_ = motion_edit.flip_motion_about_xz(
+                    model, jnp.asarray(f_np),
+                    None if c_np is None else jnp.asarray(c_np))
+                clips.append(md.MotionData(
+                    frames=np.asarray(fm).astype(np.float32),
+                    fps=cfg.path_cfg.fps,
+                    contacts=None if cm_ is None
+                    else np.asarray(cm_).astype(np.float32),
+                    terrain=motion_edit.flip_terrain_about_xz(clip_terrain)))
+        return clips
+    return []
+
+
+def _motion_body_points(model: cm.CharModel, frames34: jax.Array):
+    root_pos = frames34[..., 0:3]
+    root_rot = rot.exp_map_to_quat(frames34[..., 3:6])
+    joint_rot = cm.dof_to_rot(model, frames34[..., 6:])
+    body_pos, _ = cm.forward_kinematics(model, root_pos, root_rot, joint_rot)
+    return body_pos
+
+
+def run_kin_gen(mdm: MDM, state: MDMState, num_motions: int, out_dir: str,
+                cfg: KinGenConfig = KinGenConfig(), seed: int = 0
+                ) -> List[str]:
+    """Generate a batch of motions into out_dir (class = terrain style)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    idx = 0
+    for i in range(num_motions):
+        clips = gen_motion_and_terrain(mdm, state, cfg, seed + i)
+        for clip in clips:
+            path = os.path.join(out_dir, f"{cfg.terrain_style}_{idx:05d}.npz")
+            md.save_motion_data(path, clip)
+            paths.append(path)
+            idx += 1
+    return paths

@@ -1,0 +1,146 @@
+"""Physics recording stage (parc_4).
+
+Rolls out the trained tracker deterministically on every dataset motion
+(one env per motion, no random reset), records the physically-simulated
+frames + contact flags, keeps successful tracks, and retries failures from
+later start-time fractions.
+
+Reference parity: parc_4_phys_record.py + learning/dm_ppo_agent.py:414-594
+(record_motions with start-fraction retry schedule) +
+envs/ig_parkour/ig_parkour_env.py:895-995 (write_agent_states).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.anim import motion_data as md
+from parc_tpu.anim import motion_lib as ml
+from parc_tpu.envs.base import DoneFlags
+from parc_tpu.learning import normalizer as norm_lib
+from parc_tpu.learning.networks import ActorCritic
+from parc_tpu.learning.ppo import AgentState, PPOAgent
+from parc_tpu.utils import rotation as rot
+
+
+@dataclasses.dataclass
+class RecordConfig:
+    output_dir: str = "output/recorded"
+    start_fractions: tuple = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5)
+    success_slack: float = 2.0 / 30.0  # motion_time >= length - 2*dt
+    max_steps: int = 1000
+
+
+def _rollout_record(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
+                    motion_ids: jax.Array, start_times: jax.Array,
+                    num_steps: int, rng: jax.Array):
+    """Deterministic rollout recording 34-D frames + contacts per step."""
+    env = agent.env
+    model = agent.env.model
+
+    def run(rng):
+        es = env.reset(lib, rng, num_envs=motion_ids.shape[0],
+                       motion_ids=motion_ids, start_times=start_times)
+
+        def step_fn(carry, _):
+            es, alive = carry
+            norm_obs = norm_lib.normalize(state.obs_norm, es.obs)
+            mean, _ = agent.net.apply(state.params, norm_obs,
+                                      method=ActorCritic.actor)
+            action = agent.a_mid + agent.a_scale * mean
+            new_es = env.step(lib, es, action)
+            frame34 = jnp.concatenate([
+                new_es.sim.root_pos,
+                rot.quat_to_exp_map(new_es.sim.root_rot),
+                cm.rot_to_dof(model, new_es.sim.joint_rot)], axis=-1)
+            contacts = (jnp.linalg.norm(new_es.sim.contact_forces, axis=-1)
+                        > 1e-3).astype(jnp.float32)
+            # freeze envs that finished (done != NULL stops recording)
+            now_done = new_es.done != DoneFlags.NULL
+            out = (frame34, contacts, new_es.done, new_es.motion_times,
+                   alive)
+            alive = alive & ~now_done
+            return (new_es, alive), out
+
+        alive0 = jnp.ones(motion_ids.shape, bool)
+        _, (frames, contacts, dones, mtimes, alive) = jax.lax.scan(
+            step_fn, (es, alive0), None, length=num_steps)
+        return frames, contacts, dones, mtimes, alive
+
+    return jax.jit(run)(rng)
+
+
+def record_motions(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
+                   cfg: RecordConfig = RecordConfig(),
+                   seed: int = 0) -> List[Optional[md.MotionData]]:
+    """Record every motion in the library; returns one clip (or None) per
+    motion.  Failed motions retry from later start fractions."""
+    m = lib.num_motions
+    fps = float(lib.fps[0])
+    dt = 1.0 / fps
+    results: List[Optional[md.MotionData]] = [None] * m
+    pending = np.arange(m)
+
+    for fi, frac in enumerate(cfg.start_fractions):
+        if len(pending) == 0:
+            break
+        ids = jnp.asarray(pending, jnp.int32)
+        lengths = np.asarray(lib.lengths)[pending]
+        start_times = jnp.asarray(frac * lengths, jnp.float32)
+        num_steps = min(int(np.ceil(lengths.max() / dt)) + 2, cfg.max_steps)
+
+        frames, contacts, dones, mtimes, alive = _rollout_record(
+            agent, lib, state, ids, start_times, num_steps,
+            jax.random.PRNGKey(seed + fi))
+        frames = np.asarray(frames)      # (T, B, 34)
+        contacts = np.asarray(contacts)  # (T, B, J)
+        dones = np.asarray(dones)
+        mtimes = np.asarray(mtimes)
+        was_alive = np.asarray(alive)    # (T, B) alive *before* the step
+
+        still_pending = []
+        for k, mid in enumerate(pending):
+            # first step where the env finished
+            done_steps = np.nonzero(dones[:, k] != DoneFlags.NULL)[0]
+            end = int(done_steps[0]) + 1 if len(done_steps) else num_steps
+            final_flag = dones[end - 1, k] if len(done_steps) else \
+                DoneFlags.TIME
+            final_time = mtimes[end - 1, k]
+            success = (final_flag != DoneFlags.FAIL
+                       or final_time >= lengths[k] - cfg.success_slack)
+            if not success:
+                still_pending.append(mid)
+                continue
+            clip_frames = frames[:end, k]
+            clip_contacts = contacts[:end, k]
+            terrain = None
+            hf = np.asarray(lib.terrain_hf[mid])
+            terrain = md.HostTerrain(
+                hf=hf,
+                min_point=np.asarray(lib.terrain_min_point[mid]),
+                dxdy=np.asarray(lib.terrain_dxdy))
+            results[mid] = md.MotionData(
+                frames=clip_frames.astype(np.float32), fps=fps,
+                contacts=clip_contacts.astype(np.float32), terrain=terrain)
+        pending = np.asarray(still_pending, np.int64)
+
+    return results
+
+
+def save_recorded(results, out_dir: str, prefix: str = "recorded"):
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, clip in enumerate(results):
+        if clip is None:
+            continue
+        path = os.path.join(out_dir, f"{prefix}_{i:04d}.npz")
+        md.save_motion_data(path, clip)
+        paths.append(path)
+    return paths

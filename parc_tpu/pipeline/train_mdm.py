@@ -1,0 +1,72 @@
+"""MDM training driver (parc_1 stage).
+
+Dataset -> feature statistics -> jitted diffusion training loop with EMA,
+checkpoints, and periodic validation losses.
+
+Reference parity: parc_1_train_gen.py:13-98 + diffusion/mdm.py:1238-1335.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+
+from parc_tpu.anim import motion_lib as ml
+from parc_tpu.diffusion.mdm import MDM, MDMState
+from parc_tpu.utils import checkpoint as ckpt_lib
+from parc_tpu.utils.logger import Logger
+
+
+@dataclasses.dataclass
+class MDMTrainerConfig:
+    epochs: int = 100000
+    iters_per_epoch: int = 50
+    epochs_per_checkpoint: int = 2500
+    epochs_per_output: int = 10
+    output_dir: str = "output/mdm"
+    use_wandb: bool = False
+
+
+def train(mdm: MDM, lib: ml.MotionLib,
+          cfg: MDMTrainerConfig = MDMTrainerConfig(),
+          state: Optional[MDMState] = None, seed: int = 0,
+          max_epochs: Optional[int] = None) -> MDMState:
+    logger = Logger(output_file=f"{cfg.output_dir}/log.tsv",
+                    use_wandb=cfg.use_wandb)
+    if state is None:
+        state = mdm.init(lib, jax.random.PRNGKey(seed))
+        start = ckpt_lib.latest_step(f"{cfg.output_dir}/checkpoints")
+        if start is not None:
+            state = ckpt_lib.restore(f"{cfg.output_dir}/checkpoints", state)
+            print(f"resumed MDM from checkpoint epoch {start}")
+
+    def epoch_fn(state):
+        def body(s, _):
+            s, metrics = mdm.train_step(lib, s)
+            return s, metrics["total"]
+        return jax.lax.scan(body, state, None, length=cfg.iters_per_epoch)
+
+    epoch_jit = jax.jit(epoch_fn)
+
+    t_start = time.time()
+    epochs = cfg.epochs if max_epochs is None else max_epochs
+    for epoch in range(epochs):
+        t0 = time.time()
+        state, totals = epoch_jit(state)
+        jax.block_until_ready(totals)
+        if epoch % cfg.epochs_per_output == 0:
+            logger.log("Epoch", epoch)
+            logger.log("Step", int(state.step))
+            logger.log("Loss", float(np.mean(np.asarray(totals))))
+            logger.log("Wall_Time", (time.time() - t_start) / 3600.0)
+            logger.log("Samples_Per_Sec",
+                       cfg.iters_per_epoch * mdm.cfg.batch_size
+                       / (time.time() - t0))
+            logger.end_iter()
+        if (epoch + 1) % cfg.epochs_per_checkpoint == 0:
+            ckpt_lib.save(f"{cfg.output_dir}/checkpoints", epoch + 1, state)
+    return state

@@ -1,0 +1,135 @@
+"""Tracker training driver (parc_3 stage).
+
+Host loop around the jitted PPO ``train_iter``: periodic deterministic test
+rollouts, fail-rate logging, orbax checkpoints.  The reference spreads this
+over run.py + BaseAgent.train_model (learning/base_agent.py:57-90,
+learning/dm_ppo_agent.py:230-271); here each iteration is one device
+program and the host only logs and checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from parc_tpu.anim import motion_lib as ml
+from parc_tpu.envs.base import DoneFlags
+from parc_tpu.envs.deepmimic import DeepMimicEnv
+from parc_tpu.learning import normalizer as norm_lib
+from parc_tpu.learning.networks import ActorCritic
+from parc_tpu.learning.ppo import AgentState, PPOAgent
+from parc_tpu.utils import checkpoint as ckpt_lib
+from parc_tpu.utils.logger import Logger
+
+TRACKING_ERROR_NAMES = ("root_pos_err", "root_rot_err", "body_pos_err",
+                        "pose_err", "dof_vel_err", "root_vel_err",
+                        "root_ang_vel_err")
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_samples: float = 1e10
+    iters_per_output: int = 100
+    iters_per_checkpoint: int = 200
+    test_episodes: int = 16
+    test_steps: int = 300
+    output_dir: str = "output/tracker"
+    use_wandb: bool = False
+
+
+def make_test_fn(agent: PPOAgent, lib: ml.MotionLib, num_steps: int):
+    """Deterministic-policy evaluation rollout (jitted once).
+
+    Returns per-rollout mean reward, episode stats, and the 7 tracking-error
+    components (reference: learning/dm_ppo_agent.py:162-219)."""
+    env = agent.env
+
+    def test_fn(state: AgentState, rng):
+        env_state = env.reset(lib, rng)
+
+        def step_fn(es, _):
+            norm_obs = norm_lib.normalize(state.obs_norm, es.obs)
+            mean, _ = agent.net.apply(state.params, norm_obs,
+                                      method=ActorCritic.actor)
+            action = agent.a_mid + agent.a_scale * mean
+            es = env.step(lib, es, action)
+            out = (es.reward, es.done, es.time, es.tracking_error)
+            return es, out
+
+        _, (rewards, dones, times, terr) = jax.lax.scan(
+            step_fn, env_state, None, length=num_steps)
+        is_done = dones != DoneFlags.NULL
+        num_eps = jnp.sum(is_done)
+        ep_len = jnp.sum(jnp.where(is_done, times, 0.0)) / jnp.maximum(
+            num_eps, 1)
+        fails = jnp.sum(dones == DoneFlags.FAIL)
+        return dict(
+            mean_reward=jnp.mean(rewards),
+            num_eps=num_eps,
+            mean_ep_len=ep_len,
+            fail_frac=fails / jnp.maximum(num_eps, 1),
+            tracking_error=jnp.mean(terr, axis=(0, 1)),
+        )
+
+    return jax.jit(test_fn)
+
+
+def train(agent: PPOAgent, lib: ml.MotionLib,
+          cfg: TrainerConfig = TrainerConfig(),
+          state: Optional[AgentState] = None,
+          seed: int = 0, max_iters: Optional[int] = None) -> AgentState:
+    logger = Logger(output_file=f"{cfg.output_dir}/log.tsv",
+                    use_wandb=cfg.use_wandb)
+    if state is None:
+        state = agent.init(lib, jax.random.PRNGKey(seed))
+        start_step = ckpt_lib.latest_step(f"{cfg.output_dir}/checkpoints")
+        if start_step is not None:
+            state = ckpt_lib.restore(f"{cfg.output_dir}/checkpoints", state)
+            print(f"resumed from checkpoint step {start_step}")
+
+    train_iter = jax.jit(lambda s: agent.train_iter(lib, s))
+    test_fn = make_test_fn(agent, lib, cfg.test_steps)
+
+    it = 0
+    t_start = time.time()
+    while float(state.sample_count) < cfg.max_samples:
+        if max_iters is not None and it >= max_iters:
+            break
+        t0 = time.time()
+        state, metrics = train_iter(state)
+        jax.block_until_ready(metrics.mean_reward)
+        iter_time = time.time() - t0
+        it += 1
+
+        if it % cfg.iters_per_output == 0 or it == 1:
+            test = test_fn(state, jax.random.PRNGKey(seed + it))
+            logger.log("Iteration", it)
+            logger.log("Samples", float(state.sample_count))
+            logger.log("Wall_Time", (time.time() - t_start) / 3600.0)
+            logger.log("Train_Reward", metrics.mean_reward)
+            logger.log("Test_Reward", test["mean_reward"])
+            logger.log("Test_Episode_Length", test["mean_ep_len"])
+            logger.log("Test_Fail_Frac", test["fail_frac"])
+            logger.log("Actor_Loss", metrics.actor_loss)
+            logger.log("Critic_Loss", metrics.critic_loss)
+            logger.log("Clip_Frac", metrics.clip_frac)
+            logger.log("Samples_Per_Sec",
+                       agent.cfg.steps_per_iter
+                       * agent.env.cfg.num_envs / iter_time)
+            terr = np.asarray(test["tracking_error"])
+            for name, v in zip(TRACKING_ERROR_NAMES, terr):
+                logger.log(name, v, quiet=True)
+            fr = np.asarray(state.env_state.fail_rates)
+            for q in (0.5, 0.9, 0.99):
+                logger.log(f"Fail_Rate_q{q}", float(np.quantile(fr, q)),
+                           quiet=True)
+            logger.end_iter()
+
+        if it % cfg.iters_per_checkpoint == 0:
+            ckpt_lib.save(f"{cfg.output_dir}/checkpoints", it, state)
+    return state
