@@ -20,6 +20,14 @@ NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
 ROLLOUT_STEPS = int(os.environ.get("BENCH_STEPS", 64))
 
 
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 def main():
     import jax
     try:  # persistent compile cache (helps repeated driver runs)
@@ -44,20 +52,34 @@ def main():
     n_chips = len(devices)
     print(f"# devices: {devices}", file=sys.stderr)
 
-    model = humanoid_spec().build()
-    cfg = EnvConfig(num_envs=NUM_ENVS)
-    env = DeepMimicEnv(model, engine.SimParams(), cfg)
-    lib = ml.build_motion_lib(
-        model, [standing_clip(), walking_clip(seed=1), walking_clip(seed=2)])
-    agent = PPOAgent(env, PPOConfig())
-    state = agent.init(lib, jax.random.PRNGKey(0))
+    # Build everything eagerly on the *host* CPU backend (eager dispatch to a
+    # remote TPU is latency-bound), then transfer once.
+    t_setup = time.time()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    setup_scope = (jax.default_device(cpu) if cpu is not None
+                   else _nullcontext())
+    with setup_scope:
+        model = humanoid_spec().build()
+        cfg = EnvConfig(num_envs=NUM_ENVS)
+        env = DeepMimicEnv(model, engine.SimParams(), cfg)
+        lib = ml.build_motion_lib(
+            model,
+            [standing_clip(), walking_clip(seed=1), walking_clip(seed=2)])
+        agent = PPOAgent(env, PPOConfig())
+        state = agent.init(lib, jax.random.PRNGKey(0))
+    state = jax.device_put(state, devices[0])
+    lib = jax.device_put(lib, devices[0])
+    print(f"# setup: {time.time() - t_setup:.1f}s", file=sys.stderr)
 
-    def rollout(env_state, params, obs_norm):
+    def rollout(lib, env_state, params, obs_norm):
         def step_fn(carry, _):
             es = carry
             norm_obs = norm_lib.normalize(obs_norm, es.obs)
             mean, _ = agent.net.apply(params, norm_obs,
-                                      method=ActorCritic.actor)
+                                      method="actor")
             action = agent.a_mid + agent.a_scale * mean
             es = env.step(lib, es, action)
             return es, es.reward.mean()
@@ -66,11 +88,17 @@ def main():
                                    length=ROLLOUT_STEPS)
         return es, rewards.mean()
 
-    rollout_jit = jax.jit(rollout, donate_argnums=(0,))
+    # lib enters as a jit argument: device-array closures would be fetched
+    # back over the TPU tunnel during lowering.  (No buffer donation: the
+    # axon remote backend stalls on donated inputs.)
+    rollout_jit = jax.jit(rollout)
 
     t0 = time.time()
-    es, rew = rollout_jit(state.env_state, state.params, state.obs_norm)
-    jax.block_until_ready(rew)
+    es, rew = rollout_jit(lib, state.env_state, state.params,
+                          state.obs_norm)
+    # NOTE: sync via scalar fetch — block_until_ready does not reliably wait
+    # on the axon remote backend
+    float(rew)
     compile_time = time.time() - t0
     print(f"# compile+first run: {compile_time:.1f}s", file=sys.stderr)
 
@@ -78,8 +106,8 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.time()
-        es, rew = rollout_jit(es, state.params, state.obs_norm)
-        jax.block_until_ready(rew)
+        es, rew = rollout_jit(lib, es, state.params, state.obs_norm)
+        float(rew)
         times.append(time.time() - t0)
     best = min(times)
     steps_per_sec = NUM_ENVS * ROLLOUT_STEPS / best

@@ -294,6 +294,12 @@ def build_char_model(spec: CharModelSpec, dtype=jnp.float32) -> CharModel:
             axis = np.asarray(b.joint.axis, np.float64)
             dof_map[j - 1, :, o] = axis / np.linalg.norm(axis)
 
+    # NOTE: leaves are kept as *host* numpy arrays on purpose.  The model is
+    # static data closed over by jitted functions; numpy constants embed into
+    # the executable at trace time for free, whereas device-array constants
+    # would be fetched back from the accelerator during lowering (minutes
+    # over a remote-TPU tunnel).
+    npdtype = np.float32
     return CharModel(
         body_names=tuple(b.name for b in bodies),
         joint_names=tuple(b.joint.name for b in bodies),
@@ -302,22 +308,22 @@ def build_char_model(spec: CharModelSpec, dtype=jnp.float32) -> CharModel:
         dof_offsets=tuple(dof_offsets),
         dof_size=dof_size,
         num_bodies=n,
-        local_translation=jnp.asarray(local_translation, dtype),
-        local_rotation=jnp.asarray(local_rotation, dtype),
-        joint_axes=jnp.asarray(joint_axes, dtype),
-        dof_limits_lower=jnp.asarray(lo, dtype),
-        dof_limits_upper=jnp.asarray(hi, dtype),
-        dof_stiffness=jnp.asarray(kp, dtype),
-        dof_damping=jnp.asarray(kd, dtype),
-        dof_armature=jnp.asarray(arm, dtype),
-        dof_motor_effort=jnp.asarray(effort, dtype),
-        body_mass=jnp.asarray(mass, dtype),
-        body_com=jnp.asarray(com, dtype),
-        body_inertia=jnp.asarray(inertia, dtype),
-        contact_point_body=jnp.asarray(cp_body, jnp.int32),
-        contact_point_offset=jnp.asarray(np.asarray(cp_off), dtype),
-        contact_point_radius=jnp.asarray(np.asarray(cp_rad), dtype),
-        dof_map=jnp.asarray(dof_map, dtype),
+        local_translation=np.asarray(local_translation, npdtype),
+        local_rotation=np.asarray(local_rotation, npdtype),
+        joint_axes=np.asarray(joint_axes, npdtype),
+        dof_limits_lower=np.asarray(lo, npdtype),
+        dof_limits_upper=np.asarray(hi, npdtype),
+        dof_stiffness=np.asarray(kp, npdtype),
+        dof_damping=np.asarray(kd, npdtype),
+        dof_armature=np.asarray(arm, npdtype),
+        dof_motor_effort=np.asarray(effort, npdtype),
+        body_mass=np.asarray(mass, npdtype),
+        body_com=np.asarray(com, npdtype),
+        body_inertia=np.asarray(inertia, npdtype),
+        contact_point_body=np.asarray(cp_body, np.int32),
+        contact_point_offset=np.asarray(np.asarray(cp_off), npdtype),
+        contact_point_radius=np.asarray(np.asarray(cp_rad), npdtype),
+        dof_map=np.asarray(dof_map, npdtype),
     )
 
 

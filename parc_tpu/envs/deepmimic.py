@@ -49,8 +49,9 @@ class DeepMimicEnv:
         self.cfg = cfg
 
         names = list(model.body_names)
-        self.key_body_ids = jnp.asarray(
-            [names.index(n) for n in cfg.key_bodies], jnp.int32)
+        # host numpy: closed-over constants must not live on device
+        self.key_body_ids = np.asarray(
+            [names.index(n) for n in cfg.key_bodies], np.int32)
         self.contact_body_ids = tuple(
             names.index(n) for n in cfg.contact_bodies)
 
@@ -63,12 +64,12 @@ class DeepMimicEnv:
             o = model.dof_offsets[j]
             d = cm._DOF_DIMS[model.joint_types[j]]
             dof_w[o:o + d] = jw[j - 1]
-        self.joint_err_w = jnp.asarray(jw, jnp.float32)
-        self.dof_err_w = jnp.asarray(dof_w, jnp.float32)
-        self.pose_term_dist = jnp.asarray(cfg.pose_termination_dist,
-                                          jnp.float32)
-        self.contact_weights = jnp.full((model.num_bodies,),
-                                        cfg.contact_weight)
+        self.joint_err_w = np.asarray(jw, np.float32)
+        self.dof_err_w = np.asarray(dof_w, np.float32)
+        self.pose_term_dist = np.asarray(cfg.pose_termination_dist,
+                                         np.float32)
+        self.contact_weights = np.full((model.num_bodies,),
+                                       cfg.contact_weight, np.float32)
 
         num_key = len(cfg.key_bodies)
         steps = len(cfg.tar_obs_steps)
@@ -115,7 +116,7 @@ class DeepMimicEnv:
                 mid = 0.5 * (lhi[o] + llo[o])
                 scale = 0.7 * (lhi[o] - llo[o])
                 lo[o], hi[o] = mid - scale, mid + scale
-        return jnp.asarray(lo), jnp.asarray(hi)
+        return lo, hi  # host numpy (closed-over constants)
 
     # ------------------------------------------------------------------
     # Reset
@@ -398,7 +399,6 @@ class DeepMimicEnv:
              actions: jax.Array) -> EnvState:
         """One control step with masked auto-reset of done envs."""
         cfg = self.cfg
-        terrain = lib.motion_terrain(jnp.asarray(0))  # template; hf batched
         batched_terrain = terrain_lib.Terrain(
             hf=lib.terrain_hf,
             hf_mask=jnp.zeros(lib.terrain_hf.shape, bool),

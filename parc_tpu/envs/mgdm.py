@@ -89,7 +89,9 @@ class MGDMEnv:
         self.cfg = env_cfg
         self.mcfg = mgdm_cfg
         self.mdm = mdm
-        self.terrain = terrain
+        # host numpy leaves: the terrain is a closed-over constant of the
+        # jitted step/replan; device constants would stall remote lowering
+        self.terrain = jax.tree.map(np.asarray, terrain)
         names = list(model.body_names)
         self.key_body_ids = jnp.asarray(
             [names.index(n) for n in env_cfg.key_bodies], jnp.int32)

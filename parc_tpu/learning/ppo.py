@@ -71,6 +71,33 @@ class AgentState:
     sample_count: jax.Array  # ()
 
 
+def persistent_state(state: AgentState) -> dict:
+    """Checkpointable sub-pytree: model/optimizer/normalizer + per-motion
+    fail rates. Per-env transients (sim state, obs buffers) are excluded so
+    a checkpoint restores into any ``num_envs`` (reference checkpoints
+    state_dict + fail_rates.pt: learning/base_agent.py:127-163,
+    dm_ppo_agent.py:775-781)."""
+    return {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "obs_norm": state.obs_norm,
+        "sample_count": state.sample_count,
+        "fail_rates": state.env_state.fail_rates,
+    }
+
+
+def merge_persistent(state: AgentState, restored: dict) -> AgentState:
+    """Inverse of :func:`persistent_state` against a fresh init."""
+    return state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        obs_norm=restored["obs_norm"],
+        sample_count=restored["sample_count"],
+        env_state=state.env_state.replace(
+            fail_rates=restored["fail_rates"]),
+    )
+
+
 @struct.dataclass
 class TrainMetrics:
     mean_reward: jax.Array
@@ -93,11 +120,23 @@ class PPOAgent:
     def __init__(self, env, cfg: PPOConfig = PPOConfig()):
         self.env = env
         self.cfg = cfg
-        self.net = ActorCritic(
-            action_dim=env.action_dim,
-            actor_net=cfg.actor_net, critic_net=cfg.critic_net,
-            actor_std_type=cfg.actor_std_type, action_std=cfg.action_std,
-            actor_init_output_scale=cfg.actor_init_output_scale)
+        if cfg.actor_net in ("dm_cnn_mlp", "dm_vit"):
+            from parc_tpu.learning import vision_nets
+            ecfg = env.cfg
+            hf_shape = (2 * ecfg.ray_num_side + 1,
+                        ecfg.ray_points_behind + ecfg.ray_points_ahead + 1)
+            cls = (vision_nets.DMCnnMlp if cfg.actor_net == "dm_cnn_mlp"
+                   else vision_nets.DMViT)
+            self.net = cls(action_dim=env.action_dim,
+                           layout=env.obs_layout, hf_shape=hf_shape,
+                           action_std=cfg.action_std,
+                           actor_init_output_scale=cfg.actor_init_output_scale)
+        else:
+            self.net = ActorCritic(
+                action_dim=env.action_dim,
+                actor_net=cfg.actor_net, critic_net=cfg.critic_net,
+                actor_std_type=cfg.actor_std_type, action_std=cfg.action_std,
+                actor_init_output_scale=cfg.actor_init_output_scale)
         lo, hi = env.action_bounds()
         self.a_mid = (hi + lo) / 2.0
         self.a_scale = (hi - lo) / 2.0
@@ -129,7 +168,7 @@ class PPOAgent:
         """Single-step policy evaluation (testing / recording)."""
         norm_obs = norm_lib.normalize(agent.obs_norm, obs)
         mean, logstd = self.net.apply(agent.params, norm_obs,
-                                      method=ActorCritic.actor)
+                                      method="actor")
         if deterministic or rng is None:
             norm_a = mean
         else:
@@ -146,7 +185,7 @@ class PPOAgent:
             obs = env_state.obs
             norm_obs = norm_lib.normalize(agent.obs_norm, obs)
             mean, logstd = self.net.apply(agent.params, norm_obs,
-                                          method=ActorCritic.actor)
+                                          method="actor")
             a_rand = dist.sample(k_s, mean, logstd)
             rand_mask = (jax.random.uniform(k_m, mean.shape[:-1])
                          < exp_prob).astype(jnp.float32)
@@ -178,8 +217,8 @@ class PPOAgent:
               rand_mask):
         cfg = self.cfg
         mean, logstd = self.net.apply(params, norm_obs,
-                                      method=ActorCritic.actor)
-        pred_val = self.net.apply(params, norm_obs, method=ActorCritic.critic)
+                                      method="actor")
+        pred_val = self.net.apply(params, norm_obs, method="critic")
 
         critic_loss = jnp.mean((tar_val - pred_val) ** 2)
 
@@ -233,7 +272,7 @@ class PPOAgent:
         t, b = batch["reward"].shape
         norm_next = norm_lib.normalize(obs_norm, batch["next_obs"])
         next_vals = self.net.apply(agent.params, norm_next,
-                                   method=ActorCritic.critic)
+                                   method="critic")
         val_min = cfg.reward_min / (1.0 - cfg.discount)
         val_max = cfg.reward_max / (1.0 - cfg.discount)
         next_vals = jnp.clip(next_vals, val_min, val_max)
@@ -249,7 +288,7 @@ class PPOAgent:
 
         norm_obs = norm_lib.normalize(obs_norm, batch["obs"])
         vals = self.net.apply(agent.params, norm_obs,
-                              method=ActorCritic.critic)
+                              method="critic")
         adv = tar_val - vals
         mask = batch["rand_mask"]
         mask_sum = jnp.maximum(jnp.sum(mask), 1.0)
@@ -271,7 +310,7 @@ class PPOAgent:
             "tar_val": tar_val.reshape(t * b),
             "rand_mask": mask.reshape(t * b),
         }
-        mb_size = cfg.batch_size * b
+        mb_size = min(cfg.batch_size * b, t * b)
         num_mb = max(t * b // mb_size, 1)
 
         def epoch_fn(carry, k_epoch):

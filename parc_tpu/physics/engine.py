@@ -137,17 +137,18 @@ def _hf_height_and_normal(terrain: terrain_lib.Terrain, xy: jax.Array,
     i0 = jnp.minimum(i0, dims - 2)
     i1 = i0 + 1
     f = uv - i0
+    hf = jnp.asarray(terrain.hf)
     if batched:
         t = terrain_idx[..., None]
-        h00 = terrain.hf[t, i0[..., 0], i0[..., 1]]
-        h10 = terrain.hf[t, i1[..., 0], i0[..., 1]]
-        h01 = terrain.hf[t, i0[..., 0], i1[..., 1]]
-        h11 = terrain.hf[t, i1[..., 0], i1[..., 1]]
+        h00 = hf[t, i0[..., 0], i0[..., 1]]
+        h10 = hf[t, i1[..., 0], i0[..., 1]]
+        h01 = hf[t, i0[..., 0], i1[..., 1]]
+        h11 = hf[t, i1[..., 0], i1[..., 1]]
     else:
-        h00 = terrain.hf[i0[..., 0], i0[..., 1]]
-        h10 = terrain.hf[i1[..., 0], i0[..., 1]]
-        h01 = terrain.hf[i0[..., 0], i1[..., 1]]
-        h11 = terrain.hf[i1[..., 0], i1[..., 1]]
+        h00 = hf[i0[..., 0], i0[..., 1]]
+        h10 = hf[i1[..., 0], i0[..., 1]]
+        h01 = hf[i0[..., 0], i1[..., 1]]
+        h11 = hf[i1[..., 0], i1[..., 1]]
     fx, fy = f[..., 0], f[..., 1]
     h = ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
          + (1 - fx) * fy * h01 + fx * fy * h11)
@@ -281,6 +282,24 @@ def _inv3(m: jax.Array) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
+def _solve6_sym(m: jax.Array, r: jax.Array) -> jax.Array:
+    """Solve a batched symmetric 6x6 system via 3x3 block Schur
+    complement (closed-form; no LU)."""
+    a = m[..., 0:3, 0:3]
+    b = m[..., 0:3, 3:6]
+    d = m[..., 3:6, 3:6]
+    r1 = r[..., 0:3]
+    r2 = r[..., 3:6]
+    a_inv = _inv3(a)
+    bt_ainv = b.swapaxes(-1, -2) @ a_inv
+    schur = d - bt_ainv @ b
+    x2 = jnp.einsum("...ij,...j->...i", _inv3(schur),
+                    r2 - jnp.einsum("...ij,...j->...i", bt_ainv, r1))
+    x1 = jnp.einsum("...ij,...j->...i", a_inv,
+                    r1 - jnp.einsum("...ij,...j->...i", b, x2))
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 def aba(model: cm.CharModel, params: SimParams, state: SimState,
         tau: jax.Array, d_extra: jax.Array, f_ext: jax.Array, dt: float):
     """Articulated-body forward dynamics.
@@ -390,11 +409,12 @@ def aba(model: cm.CharModel, params: SimParams, state: SimState,
         d_inv[j] = dinv
         uu[j] = u_bias
 
-    # root solve (free joint, gravity via fictitious base acceleration)
+    # root solve (free joint, gravity via fictitious base acceleration).
+    # Batched-small LU is pathological on TPU; solve the symmetric 6x6 via
+    # 3x3 block Schur complement with closed-form 3x3 inverses.
     a_base = jnp.zeros(batch + (6,), dtype).at[..., 5].set(-params.gravity)
     rhs = -(pa[0] + jnp.einsum("...ij,...j->...i", ia[0], a_base))
-    root_acc = jnp.linalg.solve(
-        ia[0] + 1e-6 * jnp.eye(6, dtype=dtype), rhs[..., None])[..., 0]
+    root_acc = _solve6_sym(ia[0] + 1e-6 * jnp.eye(6, dtype=dtype), rhs)
 
     # outward pass
     a = [None] * nb

@@ -123,7 +123,10 @@ def stage_record(cfg: dict):
     env = DeepMimicEnv(model, engine.SimParams(), env_cfg)
     agent = PPOAgent(env, _dataclass_from_dict(PPOConfig, cfg))
     state = agent.init(lib, jax.random.PRNGKey(0))
-    state = ckpt_lib.restore(f"{cfg['tracker_dir']}/checkpoints", state)
+    from parc_tpu.learning import ppo as ppo_lib
+    restored = ckpt_lib.restore(f"{cfg['tracker_dir']}/checkpoints",
+                                ppo_lib.persistent_state(state))
+    state = ppo_lib.merge_persistent(state, restored)
     rcfg = _dataclass_from_dict(record.RecordConfig, cfg)
     results = record.record_motions(agent, lib, state, rcfg)
     paths = record.save_recorded(results,

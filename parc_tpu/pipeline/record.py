@@ -45,7 +45,7 @@ def _rollout_record(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
     env = agent.env
     model = agent.env.model
 
-    def run(rng):
+    def run(rng, lib, state, motion_ids, start_times):
         es = env.reset(lib, rng, num_envs=motion_ids.shape[0],
                        motion_ids=motion_ids, start_times=start_times)
 
@@ -53,7 +53,7 @@ def _rollout_record(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
             es, alive = carry
             norm_obs = norm_lib.normalize(state.obs_norm, es.obs)
             mean, _ = agent.net.apply(state.params, norm_obs,
-                                      method=ActorCritic.actor)
+                                      method="actor")
             action = agent.a_mid + agent.a_scale * mean
             new_es = env.step(lib, es, action)
             frame34 = jnp.concatenate([
@@ -74,7 +74,9 @@ def _rollout_record(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
             step_fn, (es, alive0), None, length=num_steps)
         return frames, contacts, dones, mtimes, alive
 
-    return jax.jit(run)(rng)
+    # all device data enters as jit arguments (no device-array closures)
+    return jax.jit(run, static_argnames=())(rng, lib, state, motion_ids,
+                                            start_times)
 
 
 def record_motions(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,

@@ -44,19 +44,21 @@ def train(mdm: MDM, lib: ml.MotionLib,
             state = ckpt_lib.restore(f"{cfg.output_dir}/checkpoints", state)
             print(f"resumed MDM from checkpoint epoch {start}")
 
-    def epoch_fn(state):
+    def epoch_fn(lib_, state):
         def body(s, _):
-            s, metrics = mdm.train_step(lib, s)
+            s, metrics = mdm.train_step(lib_, s)
             return s, metrics["total"]
         return jax.lax.scan(body, state, None, length=cfg.iters_per_epoch)
 
+    # lib is a jit argument (never a closure) to keep remote lowering fast
     epoch_jit = jax.jit(epoch_fn)
+    lib = jax.device_put(lib)
 
     t_start = time.time()
     epochs = cfg.epochs if max_epochs is None else max_epochs
     for epoch in range(epochs):
         t0 = time.time()
-        state, totals = epoch_jit(state)
+        state, totals = epoch_jit(lib, state)
         jax.block_until_ready(totals)
         if epoch % cfg.epochs_per_output == 0:
             logger.log("Epoch", epoch)
@@ -69,4 +71,9 @@ def train(mdm: MDM, lib: ml.MotionLib,
             logger.end_iter()
         if (epoch + 1) % cfg.epochs_per_checkpoint == 0:
             ckpt_lib.save(f"{cfg.output_dir}/checkpoints", epoch + 1, state)
+
+    # final checkpoint so kin-gen always finds a model even when training
+    # stopped between checkpoint intervals
+    if epochs % cfg.epochs_per_checkpoint != 0:
+        ckpt_lib.save(f"{cfg.output_dir}/checkpoints", epochs, state)
     return state

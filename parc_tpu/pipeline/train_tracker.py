@@ -22,6 +22,7 @@ from parc_tpu.envs.base import DoneFlags
 from parc_tpu.envs.deepmimic import DeepMimicEnv
 from parc_tpu.learning import normalizer as norm_lib
 from parc_tpu.learning.networks import ActorCritic
+from parc_tpu.learning import ppo as ppo_lib
 from parc_tpu.learning.ppo import AgentState, PPOAgent
 from parc_tpu.utils import checkpoint as ckpt_lib
 from parc_tpu.utils.logger import Logger
@@ -43,19 +44,21 @@ class TrainerConfig:
 
 
 def make_test_fn(agent: PPOAgent, lib: ml.MotionLib, num_steps: int):
-    """Deterministic-policy evaluation rollout (jitted once).
+    """Deterministic-policy evaluation rollout (jitted once; ``lib`` and
+    ``state`` are jit arguments).
 
     Returns per-rollout mean reward, episode stats, and the 7 tracking-error
     components (reference: learning/dm_ppo_agent.py:162-219)."""
+    del lib  # passed at call time
     env = agent.env
 
-    def test_fn(state: AgentState, rng):
+    def test_fn(lib, state: AgentState, rng):
         env_state = env.reset(lib, rng)
 
         def step_fn(es, _):
             norm_obs = norm_lib.normalize(state.obs_norm, es.obs)
             mean, _ = agent.net.apply(state.params, norm_obs,
-                                      method=ActorCritic.actor)
+                                      method="actor")
             action = agent.a_mid + agent.a_scale * mean
             es = env.step(lib, es, action)
             out = (es.reward, es.done, es.time, es.tracking_error)
@@ -89,11 +92,16 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
         state = agent.init(lib, jax.random.PRNGKey(seed))
         start_step = ckpt_lib.latest_step(f"{cfg.output_dir}/checkpoints")
         if start_step is not None:
-            state = ckpt_lib.restore(f"{cfg.output_dir}/checkpoints", state)
+            restored = ckpt_lib.restore(f"{cfg.output_dir}/checkpoints",
+                                        ppo_lib.persistent_state(state))
+            state = ppo_lib.merge_persistent(state, restored)
             print(f"resumed from checkpoint step {start_step}")
 
-    train_iter = jax.jit(lambda s: agent.train_iter(lib, s))
+    # NOTE: lib is a jit *argument* (device-resident, reused), never a
+    # closure — closed-over device arrays stall lowering on remote TPUs.
+    train_iter = jax.jit(lambda l, s: agent.train_iter(l, s))
     test_fn = make_test_fn(agent, lib, cfg.test_steps)
+    lib = jax.device_put(lib)
 
     it = 0
     t_start = time.time()
@@ -101,13 +109,13 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
         if max_iters is not None and it >= max_iters:
             break
         t0 = time.time()
-        state, metrics = train_iter(state)
+        state, metrics = train_iter(lib, state)
         jax.block_until_ready(metrics.mean_reward)
         iter_time = time.time() - t0
         it += 1
 
         if it % cfg.iters_per_output == 0 or it == 1:
-            test = test_fn(state, jax.random.PRNGKey(seed + it))
+            test = test_fn(lib, state, jax.random.PRNGKey(seed + it))
             logger.log("Iteration", it)
             logger.log("Samples", float(state.sample_count))
             logger.log("Wall_Time", (time.time() - t_start) / 3600.0)
@@ -131,5 +139,12 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
             logger.end_iter()
 
         if it % cfg.iters_per_checkpoint == 0:
-            ckpt_lib.save(f"{cfg.output_dir}/checkpoints", it, state)
+            ckpt_lib.save(f"{cfg.output_dir}/checkpoints", it,
+                          ppo_lib.persistent_state(state))
+
+    # final checkpoint so downstream stages (record) always find a model,
+    # even when training stopped between checkpoint intervals
+    if it % cfg.iters_per_checkpoint != 0:
+        ckpt_lib.save(f"{cfg.output_dir}/checkpoints", it,
+                          ppo_lib.persistent_state(state))
     return state

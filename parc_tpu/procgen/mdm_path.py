@@ -88,10 +88,14 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
         jnp.asarray(start_contacts)[None],
         (b, np_prev, model.num_bodies)).copy()
 
+    # mdm weights + terrain enter as jit arguments (device closures stall
+    # remote lowering)
     gen_step = jax.jit(
-        lambda key, prev_f, prev_c, tgt: gen_lib.gen_mdm_motion(
-            mdm, state, key, prev_f, prev_c, terrain, tgt,
+        lambda st, terr, key, prev_f, prev_c, tgt: gen_lib.gen_mdm_motion(
+            mdm, st, key, prev_f, prev_c, terr, tgt,
             settings=cfg.settings))
+    state = jax.device_put(state)
+    terrain = jax.device_put(terrain)
 
     closest = np.zeros((b,), np.int64)
     done = np.zeros((b,), bool)
@@ -110,7 +114,8 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
         target_xy = nodes[jnp.asarray(tgt_idx), 0:2]
 
         rng, key = jax.random.split(rng)
-        new_f, new_c = gen_step(key, prev_f, prev_c, target_xy)
+        new_f, new_c = gen_step(state, terrain, key, prev_f, prev_c,
+                                target_xy)
         frames = jnp.concatenate([frames, new_f], axis=1)
         contacts = jnp.concatenate([contacts, new_c], axis=1)
 

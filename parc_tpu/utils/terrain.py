@@ -77,7 +77,7 @@ def get_grid_index(terrain: Terrain, points_xy: jax.Array) -> jax.Array:
 def get_hf_val(terrain: Terrain, points_xy: jax.Array) -> jax.Array:
     """Nearest-cell height lookup (matches the reference observation path)."""
     inds = get_grid_index(terrain, points_xy)
-    return terrain.hf[inds[..., 0], inds[..., 1]]
+    return jnp.asarray(terrain.hf)[inds[..., 0], inds[..., 1]]
 
 
 def get_hf_val_bilinear(terrain: Terrain, points_xy: jax.Array) -> jax.Array:
@@ -88,10 +88,11 @@ def get_hf_val_bilinear(terrain: Terrain, points_xy: jax.Array) -> jax.Array:
     i0 = jnp.floor(uv).astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, dims - 1)
     f = uv - i0
-    h00 = terrain.hf[i0[..., 0], i0[..., 1]]
-    h10 = terrain.hf[i1[..., 0], i0[..., 1]]
-    h01 = terrain.hf[i0[..., 0], i1[..., 1]]
-    h11 = terrain.hf[i1[..., 0], i1[..., 1]]
+    hf = jnp.asarray(terrain.hf)
+    h00 = hf[i0[..., 0], i0[..., 1]]
+    h10 = hf[i1[..., 0], i0[..., 1]]
+    h01 = hf[i0[..., 0], i1[..., 1]]
+    h11 = hf[i1[..., 0], i1[..., 1]]
     fx, fy = f[..., 0], f[..., 1]
     return ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
             + (1 - fx) * fy * h01 + fx * fy * h11)

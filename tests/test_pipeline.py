@@ -72,12 +72,19 @@ def test_tracker_train_and_record(dataset_yaml, model, tmp_path):
         iters_per_checkpoint=2, test_steps=6)
     state = train_tracker.train(agent, lib, tcfg, max_iters=3)
     assert float(state.sample_count) == 3 * 4 * 4
-    # checkpoint written and restorable
+    # checkpoint written and restorable into a *different* num_envs
+    # (persistent sub-pytree excludes per-env transients)
+    from parc_tpu.learning import ppo as ppo_lib
     from parc_tpu.utils import checkpoint as ckpt_lib
-    assert ckpt_lib.latest_step(str(tmp_path / "tracker/checkpoints")) == 2
+    # final checkpoint at it=3 (off-interval) in addition to it=2
+    assert ckpt_lib.latest_step(str(tmp_path / "tracker/checkpoints")) == 3
+    env2 = DeepMimicEnv(model, engine.SimParams(), EnvConfig(num_envs=2))
+    agent2 = PPOAgent(env2, agent.cfg)
+    fresh = agent2.init(lib, jax.random.PRNGKey(0))
     restored = ckpt_lib.restore(str(tmp_path / "tracker/checkpoints"),
-                                agent.init(lib, jax.random.PRNGKey(0)))
-    assert float(restored.sample_count) > 0
+                                ppo_lib.persistent_state(fresh))
+    merged = ppo_lib.merge_persistent(fresh, restored)
+    assert float(merged.sample_count) > 0
 
     # record stage: one env per motion (standing should track; walkers may
     # fail at this training level but the machinery must produce output)

@@ -126,3 +126,21 @@ def test_act_deterministic_mode(setup):
     a2 = agent.act(state, obs, deterministic=True)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert a1.shape == (8, env.action_dim)
+
+
+@pytest.mark.parametrize("net", ["dm_cnn_mlp", "dm_vit"])
+def test_vision_policies(setup, net):
+    """dm_cnn_mlp / dm_vit tracker policies (reference: learning/nets/
+    dm_cnn_mlp.py:31-95, dm_vit.py:30-175) init and act on the env obs."""
+    env, lib, _ = setup
+    cfg = PPOConfig(steps_per_iter=4, update_epochs=1, batch_size=2,
+                    actor_net=net)
+    agent = PPOAgent(env, cfg)
+    state = agent.init(lib, jax.random.PRNGKey(3))
+    a = agent.act(state, state.env_state.obs, deterministic=True)
+    assert a.shape == (8, env.action_dim)
+    assert np.all(np.isfinite(np.asarray(a)))
+    train = jax.jit(lambda s: agent.train_iter(lib, s))
+    new_state, metrics = train(state)
+    assert np.isfinite(float(metrics.mean_reward))
+    assert np.all(np.isfinite(np.asarray(jax.tree.leaves(new_state.params)[0])))
