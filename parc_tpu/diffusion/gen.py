@@ -29,6 +29,9 @@ class GenSettings:
     ddim_stride: int = 5
     guidance_scale: float = 1.0
     use_ema: bool = True
+    # optional gradient/hf guidance (parc_tpu.diffusion.guidance); None
+    # disables (reference: gen_util.py:12-34 custom_guidance_params)
+    guidance: object = None
 
 
 def features_from_frames34(mdm: MDM, frames34: jax.Array,
@@ -93,7 +96,7 @@ def sample_local_hf(mdm: MDM, terrain: terrain_lib.Terrain, canon_xy,
         jnp.int32)
     dims = jnp.asarray(terrain.hf.shape)
     inds = jnp.clip(inds, 0, dims - 1)
-    hf = terrain.hf[inds[..., 0], inds[..., 1]]
+    hf = jnp.asarray(terrain.hf)[inds[..., 0], inds[..., 1]]
     return jnp.clip(hf - canon_z[..., None, None], -scfg.max_h, scfg.max_h)
 
 
@@ -131,10 +134,13 @@ def gen_mdm_motion(mdm: MDM, state: MDMState, rng: jax.Array,
                            delta / jnp.maximum(norm, 1e-6),
                            jnp.zeros_like(delta))
 
+    target_xy_canon = rot.rotate_2d_vec(target_xy - canon_xy, -canon_heading)
     feats = mdm.ddim_sample(state, rng, prev_feats, hf, target_dir,
                             stride=settings.ddim_stride,
                             guidance_scale=settings.guidance_scale,
-                            use_ema=settings.use_ema)
+                            use_ema=settings.use_ema,
+                            guidance=settings.guidance,
+                            target_xy=target_xy_canon)
     frames34_c, contacts = frames34_from_features(mdm, feats)
     frames34 = uncanonicalize(frames34_c, canon_xy, canon_z, canon_heading)
     return frames34, jnp.clip(jnp.round(contacts), 0.0, 1.0)

@@ -280,15 +280,50 @@ class MDM:
         uncond = call(ones, jnp.zeros((b,)), jnp.zeros((b,)))
         return uncond + guidance_scale * (cond - uncond)
 
+    def _post_x0(self, state, x0, hf, guidance, target_xy,
+                 inpaint_frames, inpaint_mask):
+        """Hooks applied to the predicted clean signal each denoise step:
+        dof-limit projection, gradient guidance, in-painting (reference:
+        mdm.py:1115-1145 project_dofs + apply_guidance + apply_in_paint)."""
+        from parc_tpu.diffusion import guidance as guid_lib
+        x0 = self._project_dofs(state, x0)
+        if guidance is not None and guidance.active:
+            x0 = guid_lib.apply_guidance(self, state, x0, hf, target_xy,
+                                         guidance)
+        if inpaint_frames is not None:
+            x0 = guid_lib.apply_inpaint(x0, inpaint_frames, inpaint_mask)
+        return x0
+
+    def _project_dofs(self, state: MDMState, x_std):
+        """Clamp predicted joint dofs to joint limits (unstandardized
+        space; reference: mdm.py project_dofs / kin_char_model:951-961)."""
+        x = self._unstandardize_frames(state, x_std)
+        feats = sampler_lib.split_features(self.model, x)
+        i2 = 3 + 3 + 3 * (self.model.num_bodies - 1)
+        i3 = i2 + self.model.dof_size
+        dof = jnp.clip(feats["dof"], jnp.asarray(self.model.dof_limits_lower),
+                       jnp.asarray(self.model.dof_limits_upper))
+        x = jnp.concatenate([x[..., :i2], dof, x[..., i3:]], axis=-1)
+        np_ = self.scfg.num_prev_states
+        return (x - state.mean[np_:]) / state.std[np_:]
+
     def ddim_sample(self, state: MDMState, rng, prev_states, hf, target_dir,
                     stride: int = 5, guidance_scale: float = 1.0,
-                    use_ema: bool = True):
+                    use_ema: bool = True, guidance=None, target_xy=None,
+                    inpaint_frames=None, inpaint_mask=None):
         """DDIM (eta=0) sampling of one 15-frame window (standardized in/out
-        handled internally; returns unstandardized canonical frames)."""
+        handled internally; returns unstandardized canonical frames).
+
+        guidance: optional GuidanceParams; target_xy (B, 2) canonical;
+        inpaint_frames (B, T, F) unstandardized + inpaint_mask (T,) or
+        (B, T) pins frames each step."""
         params = state.ema_params if use_ema else state.params
         b = prev_states.shape[0]
         np_ = self.scfg.num_prev_states
         prev_std = (prev_states - state.mean[:np_]) / state.std[:np_]
+        if inpaint_frames is not None:
+            inpaint_frames = (inpaint_frames - state.mean[np_:]) \
+                / state.std[np_:]
 
         timesteps = jnp.arange(0, self.rates.num_timesteps, stride)[::-1]
         x = jax.random.normal(
@@ -297,17 +332,26 @@ class MDM:
         def body(x, idx):
             t_cur = timesteps[idx]
             t_batch = jnp.full((b,), t_cur, jnp.int32)
-            x0 = self._denoise(params, state, x, t_batch, prev_std, hf,
-                               target_dir, guidance_scale)
-            ac_t = self.rates.alphas_cumprod[t_cur]
+            if guidance is not None and guidance.strong_hf_guidance:
+                from parc_tpu.diffusion import guidance as guid_lib
+                x0, _ = guid_lib.hf_guidance_x0(
+                    self, params, state, x, t_batch, prev_std, hf,
+                    target_dir, target_xy, guidance)
+            else:
+                x0 = self._denoise(params, state, x, t_batch, prev_std, hf,
+                                   target_dir, guidance_scale)
+            x0 = self._post_x0(state, x0, hf, guidance, target_xy,
+                               inpaint_frames, inpaint_mask)
+            ac_t = schedules.gather(self.rates.alphas_cumprod, t_cur)
             t_next = jnp.where(idx + 1 < timesteps.shape[0],
                                timesteps[jnp.minimum(idx + 1,
                                                      timesteps.shape[0] - 1)],
                                -1)
-            ac_next = jnp.where(t_next >= 0,
-                                self.rates.alphas_cumprod[jnp.maximum(t_next,
-                                                                      0)],
-                                1.0)
+            ac_next = jnp.where(
+                t_next >= 0,
+                schedules.gather(self.rates.alphas_cumprod,
+                                 jnp.maximum(t_next, 0)),
+                1.0)
             eps = (x - jnp.sqrt(ac_t) * x0) / jnp.sqrt(1.0 - ac_t)
             x_next = (jnp.sqrt(ac_next) * x0
                       + jnp.sqrt(jnp.maximum(1.0 - ac_next, 0.0)) * eps)
@@ -317,12 +361,17 @@ class MDM:
         return self._unstandardize_frames(state, x)
 
     def ddpm_sample(self, state: MDMState, rng, prev_states, hf, target_dir,
-                    guidance_scale: float = 1.0, use_ema: bool = True):
+                    guidance_scale: float = 1.0, use_ema: bool = True,
+                    guidance=None, target_xy=None,
+                    inpaint_frames=None, inpaint_mask=None):
         """Full ancestral DDPM sampling (predict-x0 posterior)."""
         params = state.ema_params if use_ema else state.params
         b = prev_states.shape[0]
         np_ = self.scfg.num_prev_states
         prev_std = (prev_states - state.mean[:np_]) / state.std[:np_]
+        if inpaint_frames is not None:
+            inpaint_frames = (inpaint_frames - state.mean[np_:]) \
+                / state.std[np_:]
         n = self.rates.num_timesteps
 
         k_init, k_loop = jax.random.split(rng)
@@ -336,9 +385,14 @@ class MDM:
             t_batch = jnp.full((b,), t_cur, jnp.int32)
             x0 = self._denoise(params, state, x, t_batch, prev_std, hf,
                                target_dir, guidance_scale)
-            mean = (self.rates.posterior_mean_x0_coef[t_cur] * x0
-                    + self.rates.posterior_mean_xt_coef[t_cur] * x)
-            logvar = self.rates.posterior_log_variance_clipped[t_cur]
+            x0 = self._post_x0(state, x0, hf, guidance, target_xy,
+                               inpaint_frames, inpaint_mask)
+            mean = (schedules.gather(self.rates.posterior_mean_x0_coef,
+                                     t_cur) * x0
+                    + schedules.gather(self.rates.posterior_mean_xt_coef,
+                                       t_cur) * x)
+            logvar = schedules.gather(
+                self.rates.posterior_log_variance_clipped, t_cur)
             noise = jax.random.normal(k_n, x.shape)
             x = mean + jnp.where(t_cur > 0,
                                  jnp.exp(0.5 * logvar), 0.0) * noise

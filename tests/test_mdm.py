@@ -93,3 +93,62 @@ def test_ddim_sampling_shapes(setup):
                            batch.hf, batch.target_dir, stride=25,
                            guidance_scale=2.0)
     assert np.all(np.isfinite(np.asarray(out2)))
+
+
+def test_guidance_and_inpaint(setup):
+    """Gradient guidance + in-painting + dof projection hooks
+    (reference: diffusion/mdm.py:1444-1560)."""
+    from parc_tpu.diffusion import guidance as guid_lib
+    model, lib, mdm = setup
+    state = mdm.init(lib, jax.random.PRNGKey(5), stats_samples=128)
+    b = 2
+    batch = sampler_lib.sample_batch(model, mdm.scfg, lib,
+                                     jax.random.PRNGKey(6), b)
+    gp = guid_lib.GuidanceParams(use_target=True, use_hf=True,
+                                 guide_speed=True, guide_acc=True,
+                                 guide_jerk=True, guidance_str=0.01)
+    target_xy = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    out = jax.jit(lambda: mdm.ddim_sample(
+        state, jax.random.PRNGKey(7), batch.prev_states, batch.hf,
+        batch.target_dir, stride=25, guidance=gp, target_xy=target_xy))()
+    assert out.shape == (b, 15, mdm.frame_dim)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # guidance changed the sample vs unguided (same rng)
+    base = mdm.ddim_sample(state, jax.random.PRNGKey(7), batch.prev_states,
+                           batch.hf, batch.target_dir, stride=25)
+    assert float(jnp.max(jnp.abs(out - base))) > 1e-6
+
+    # in-painting pins the final frame exactly (unstandardized space)
+    paint = mdm._unstandardize_frames(state, base)
+    mask = jnp.zeros((15,), bool).at[-1].set(True)
+    out_ip = mdm.ddim_sample(state, jax.random.PRNGKey(8),
+                             batch.prev_states, batch.hf, batch.target_dir,
+                             stride=25, inpaint_frames=paint,
+                             inpaint_mask=mask)
+    np.testing.assert_allclose(np.asarray(out_ip[:, -1]),
+                               np.asarray(paint[:, -1]), atol=1e-3)
+
+    # dof projection keeps predicted dofs inside joint limits
+    feats = sampler_lib.split_features(model, out)
+    lo = np.asarray(model.dof_limits_lower) - 1e-4
+    hi = np.asarray(model.dof_limits_upper) + 1e-4
+    dof = np.asarray(feats["dof"])
+    assert np.all(dof >= lo) and np.all(dof <= hi)
+
+
+def test_strong_hf_guidance(setup):
+    """Heightfield-optimizing guidance (reference: mdm.py:1562-1651)."""
+    from parc_tpu.diffusion import guidance as guid_lib
+    model, lib, mdm = setup
+    state = mdm.init(lib, jax.random.PRNGKey(9), stats_samples=128)
+    batch = sampler_lib.sample_batch(model, mdm.scfg, lib,
+                                     jax.random.PRNGKey(10), 2)
+    gp = guid_lib.GuidanceParams(use_target=True, use_hf=True,
+                                 strong_hf_guidance=True, hf_iters=2,
+                                 guidance_str=0.05)
+    out = jax.jit(lambda: mdm.ddim_sample(
+        state, jax.random.PRNGKey(11), batch.prev_states, batch.hf,
+        batch.target_dir, stride=25, guidance=gp,
+        target_xy=jnp.ones((2, 2))))()
+    assert np.all(np.isfinite(np.asarray(out)))
