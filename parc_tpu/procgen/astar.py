@@ -61,10 +61,21 @@ def _jump_candidates(dx: float, settings: AStarSettings):
 def run_a_star(hf: np.ndarray, dxdy: np.ndarray, start: Tuple[int, int],
                goal: Tuple[int, int],
                settings: AStarSettings = AStarSettings(),
-               rng: Optional[np.random.Generator] = None
-               ) -> Optional[np.ndarray]:
+               rng: Optional[np.random.Generator] = None,
+               use_native: bool = True) -> Optional[np.ndarray]:
     """Plan start->goal; returns (N, 3) grid-node path [i, j, jump_flag]
-    or None if unreachable."""
+    or None if unreachable.
+
+    Dispatches to the native C++ planner (parc_tpu/native/astar.cpp) when
+    it is available; ``use_native=False`` forces the pure-Python reference
+    implementation below. The two agree exactly for rand_cost_scale=0 and
+    differ only in random tie-breaking otherwise."""
+    if use_native:
+        from parc_tpu import native
+        if native.available():
+            seed = (int(rng.integers(0, 2**63 - 1)) if rng is not None
+                    else 0)
+            return native.astar(hf, dxdy, start, goal, settings, seed=seed)
     rng = rng or np.random.default_rng(0)
     h, w = hf.shape
     dx = float(dxdy[0])

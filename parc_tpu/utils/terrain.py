@@ -475,12 +475,21 @@ def gen_curvy_paths(rng: np.random.Generator, hf: np.ndarray,
 
 
 def hf_to_voxelized_trimesh(hf: np.ndarray, min_x: float, min_y: float,
-                            dx: float):
+                            dx: float, use_native: bool = True):
     """Minecraft-style mesh export (verts, faces) of a heightfield.
 
-    Vectorized (the reference builds this with a Python double loop; it is
-    only needed for visualization/export on TPU, never for collision).
+    Dispatches to the native C++ mesher (parc_tpu/native/mesher.cpp) when
+    available (emits only the non-coplanar side quads plus a border skirt);
+    otherwise uses the vectorized numpy fallback below (the reference
+    builds this with a Python double loop; on TPU it is only needed for
+    visualization/export, never for collision).
     """
+    if use_native:
+        from parc_tpu import native
+        if native.available():
+            return native.hf_to_trimesh(np.asarray(hf, np.float32),
+                                        float(min_x), float(min_y),
+                                        float(dx), float(dx))
     h, w = hf.shape
     half = dx / 2.0
     xs = min_x + np.arange(h) * dx

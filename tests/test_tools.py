@@ -155,3 +155,78 @@ def test_motion_opt_reduces_penetration(model):
         model, terrain, frames, jnp.asarray(clip.contacts), cfg)
     assert losses["penetration"] < losses0["penetration"] * 0.5
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) components
+# ---------------------------------------------------------------------------
+
+
+def _path_cost(hf, dxdy, path, settings):
+    """Deterministic edge-cost sum of a planned path (rand_cost_scale=0)."""
+    import math
+    total = 0.0
+    for k in range(1, len(path)):
+        i0, j0, _ = path[k - 1]
+        i1, j1, jf = path[k]
+        z0, z1 = hf[i0, j0], hf[i1, j1]
+        dist = math.hypot((i1 - i0) * dxdy[0], (j1 - j0) * dxdy[1])
+        if jf:
+            total += settings.jump_cost_mult * (
+                dist + settings.z_weight * abs(z1 - z0))
+        else:
+            lo = max(i1 - 1, 0), max(j1 - 1, 0)
+            hi = min(i1 + 2, hf.shape[0]), min(j1 + 2, hf.shape[1])
+            patch = hf[lo[0]:hi[0], lo[1]:hi[1]]
+            bump = float(patch.max() - patch.min())
+            total += (dist + settings.z_weight * abs(z1 - z0)
+                      + settings.bumpiness_weight * bump * dist)
+    return total
+
+
+def test_native_astar_matches_python():
+    """C++ planner (parc_tpu/native/astar.cpp) finds equal-cost paths to
+    the pure-Python reference implementation on deterministic costs."""
+    from parc_tpu import native
+    from parc_tpu.procgen import astar as A
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    hf = np.zeros((40, 40), np.float32)
+    hf[12:14, :30] = 2.0
+    hf[20:26, 10:18] = -3.0
+    hf += rng.uniform(0, 0.1, hf.shape).astype(np.float32)
+    dxdy = np.asarray([0.4, 0.4])
+    s = A.AStarSettings(rand_cost_scale=0.0)
+    p_n = native.astar(hf, dxdy, (2, 2), (37, 37), s, seed=0)
+    p_p = A.run_a_star(hf, dxdy, (2, 2), (37, 37), s, use_native=False)
+    assert p_n is not None and p_p is not None
+    c_n = _path_cost(hf, dxdy, p_n, s)
+    c_p = _path_cost(hf, dxdy, p_p, s)
+    assert abs(c_n - c_p) < 1e-2 * max(c_p, 1.0)
+    # endpoints exact
+    assert tuple(p_n[0][:2]) == (2, 2) and tuple(p_n[-1][:2]) == (37, 37)
+    # unreachable case returns None
+    wall = np.zeros((20, 20), np.float32)
+    wall[10, :] = 100.0
+    assert native.astar(wall, dxdy, (2, 2), (18, 18), s, seed=0) is None
+
+
+def test_native_mesher_valid():
+    """C++ voxelized mesher emits a watertight-indexed mesh covering every
+    cell's top face."""
+    from parc_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    hf = rng.uniform(0, 1, (12, 9)).astype(np.float32)
+    v, t = native.hf_to_trimesh(hf, -1.0, -2.0, 0.4, 0.4)
+    assert t.max() < len(v) and t.min() >= 0
+    # at least 2 triangles per cell (top faces)
+    assert len(t) >= 2 * hf.size
+    # all cell-top heights present among vertex z values
+    assert np.allclose(np.sort(np.unique(np.round(hf, 5))),
+                       np.sort(np.intersect1d(np.round(np.unique(v[:, 2]), 5),
+                                              np.round(np.unique(hf), 5))))
