@@ -40,6 +40,7 @@ from flax import struct
 
 from parc_tpu.anim import char_model as cm
 from parc_tpu.physics import spatial as sp
+from parc_tpu.utils import gather as gather_lib
 from parc_tpu.utils import rotation as rot
 from parc_tpu.utils import terrain as terrain_lib
 
@@ -138,17 +139,17 @@ def _hf_height_and_normal(terrain: terrain_lib.Terrain, xy: jax.Array,
     i1 = i0 + 1
     f = uv - i0
     hf = jnp.asarray(terrain.hf)
+    # fuse the 4 bilinear corners into ONE one-hot MXU gather: native
+    # gathers serialize on TPU (~9 ms/substep at 4096 envs x 52 points)
+    ix4 = jnp.concatenate([i0[..., 0], i1[..., 0], i0[..., 0], i1[..., 0]],
+                          axis=-1)
+    iy4 = jnp.concatenate([i0[..., 1], i0[..., 1], i1[..., 1], i1[..., 1]],
+                          axis=-1)
     if batched:
-        t = terrain_idx[..., None]
-        h00 = hf[t, i0[..., 0], i0[..., 1]]
-        h10 = hf[t, i1[..., 0], i0[..., 1]]
-        h01 = hf[t, i0[..., 0], i1[..., 1]]
-        h11 = hf[t, i1[..., 0], i1[..., 1]]
+        hv = gather_lib.batched_hf_gather(hf, terrain_idx, ix4, iy4)
     else:
-        h00 = hf[i0[..., 0], i0[..., 1]]
-        h10 = hf[i1[..., 0], i0[..., 1]]
-        h01 = hf[i0[..., 0], i1[..., 1]]
-        h11 = hf[i1[..., 0], i1[..., 1]]
+        hv = gather_lib.hf_gather_single(hf, ix4, iy4)
+    h00, h10, h01, h11 = jnp.split(hv, 4, axis=-1)
     fx, fy = f[..., 0], f[..., 1]
     h = ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
          + (1 - fx) * fy * h01 + fx * fy * h11)
@@ -300,9 +301,12 @@ def _solve6_sym(m: jax.Array, r: jax.Array) -> jax.Array:
     return jnp.concatenate([x1, x2], axis=-1)
 
 
-def aba(model: cm.CharModel, params: SimParams, state: SimState,
+def aba_reference(model: cm.CharModel, params: SimParams, state: SimState,
         tau: jax.Array, d_extra: jax.Array, f_ext: jax.Array, dt: float):
-    """Articulated-body forward dynamics.
+    """Articulated-body forward dynamics (per-joint reference form).
+
+    Kept as the readable/parity implementation; the production path is
+    :func:`aba` below (level-parallel, body-stacked — ~2x faster on TPU).
 
     Args:
       tau: (..., D) explicit joint-space torques.
@@ -438,6 +442,184 @@ def aba(model: cm.CharModel, params: SimParams, state: SimState,
             qdd_j = jnp.einsum("...ij,...j->...i", d_inv[j], uu[j] - ua)
         qdd = qdd.at[..., o:o + d].set(qdd_j)
         a[j] = a_p + jnp.einsum("...ij,...j->...i", s, qdd_j)
+
+    return root_acc, qdd
+
+
+def _aba_static(model: cm.CharModel):
+    """Static (trace-time numpy) helper tables for the level-parallel ABA.
+
+    Unifies joint types as padded 3-dof joints: P selects each joint's dofs
+    out of the flat dof vector into a padded local 3-vector; A maps local
+    rates to a world-frame angular subspace through the body rotation
+    (identity for spherical, [axis|0|0] for hinge, zero for fixed); valid
+    masks the real dims. Levels group joints by tree depth so each
+    Featherstone pass runs one batched step per level instead of per joint.
+    """
+    import numpy as np
+    nb = model.num_bodies
+    D = model.dof_size
+    parents = np.asarray(model.parent_indices[1:], np.int32)  # (nb-1,)
+    P = np.zeros((nb - 1, 3, D), np.float32)
+    A = np.zeros((nb - 1, 3, 3), np.float32)
+    valid = np.zeros((nb - 1, 3), np.float32)
+    for j in range(1, nb):
+        jt = model.joint_types[j]
+        o = model.dof_offsets[j]
+        if jt == cm.SPHERICAL:
+            for k in range(3):
+                P[j - 1, k, o + k] = 1.0
+            A[j - 1] = np.eye(3)
+            valid[j - 1] = 1.0
+        elif jt == cm.HINGE:
+            P[j - 1, 0, o] = 1.0
+            A[j - 1, :, 0] = np.asarray(model.joint_axes[j])
+            valid[j - 1, 0] = 1.0
+    depth = np.zeros((nb,), np.int32)
+    for j in range(1, nb):
+        depth[j] = depth[model.parent_indices[j]] + 1
+    levels = []
+    for d in range(1, int(depth.max()) + 1):
+        levels.append(np.nonzero(depth == d)[0].astype(np.int32))
+    return parents, P, A, valid, levels
+
+
+def aba(model: cm.CharModel, params: SimParams, state: SimState,
+        tau: jax.Array, d_extra: jax.Array, f_ext: jax.Array, dt: float):
+    """Articulated-body forward dynamics (backend-dispatched).
+
+    On accelerator backends this uses the structure-of-arrays formulation
+    (parc_tpu/physics/aba_soa.py) — every scalar component is an (N,)
+    lane-packed vector, ~9x faster than batched (N, 6, 6) algebra on TPU.
+    On CPU it uses the level-parallel form below (the SoA graph compiles
+    pathologically slowly on the XLA CPU backend; eager/numerical parity
+    is pinned by tests).
+    """
+    if jax.default_backend() != "cpu":
+        from parc_tpu.physics.aba_soa import aba_soa
+        return aba_soa(model, params, state, tau, d_extra, f_ext, dt)
+    return aba_level_parallel(model, params, state, tau, d_extra, f_ext, dt)
+
+
+def aba_level_parallel(model: cm.CharModel, params: SimParams,
+                       state: SimState, tau: jax.Array, d_extra: jax.Array,
+                       f_ext: jax.Array, dt: float):
+    """Articulated-body forward dynamics, level-parallel formulation.
+
+    Same contract as :func:`aba_reference` (reference semantics: the
+    explicit-PD torque path of envs/ig_char_env.py:399-420 feeding a
+    Featherstone solve), but restructured for TPU: all per-body-independent
+    work is stacked over a body axis and the sequential tree passes run
+    once per *depth level* (6 for the humanoid) on batched (N, L, 6, 6)
+    blocks instead of once per joint — ~3x fewer, larger XLA ops.
+
+    Args:
+      tau: (..., D) explicit joint-space torques.
+      d_extra: (..., D) implicit diagonal added to each joint-space D
+        matrix (SPD), pre-multiplied by dt.
+      f_ext: (..., J, 6) external spatial forces at body origins.
+
+    Returns:
+      root_acc (..., 6) spatial (ang; lin) root acceleration, qdd (..., D).
+    """
+    import numpy as np
+    nb = model.num_bodies
+    batch = state.root_pos.shape[:-1]
+    dtype = state.root_pos.dtype
+    parents, P, A, valid, levels = _aba_static(model)
+    P = jnp.asarray(P)
+    A = jnp.asarray(A)
+    valid = jnp.asarray(valid)
+
+    body_r = rot.quat_to_matrix(state.body_rot)            # (..., nb, 3, 3)
+
+    # unified joint subspaces: S = [[R A], [0]]  (..., nb-1, 6, 3)
+    s_ang = body_r[..., 1:, :, :] @ A
+    s_all = jnp.concatenate([s_ang, jnp.zeros_like(s_ang)], axis=-2)
+
+    # velocities: state already maintains world body velocities
+    v_all = jnp.concatenate([state.body_ang_vel, state.body_vel], axis=-1)
+    qd3 = jnp.einsum("jkd,...d->...jk", P, state.dof_vel)
+    w_j = jnp.einsum("...jab,...jb->...ja", s_ang, qd3)
+    vj = jnp.concatenate([w_j, jnp.zeros_like(w_j)], axis=-1)
+    c_bias = sp.cross_motion(v_all[..., 1:, :], vj)        # (..., nb-1, 6)
+
+    # joint offsets from parent (world)
+    r_all = state.body_pos[..., 1:, :] - state.body_pos[..., parents, :]
+
+    # spatial inertias + bias forces, stacked over bodies
+    com_w = jnp.einsum("...jab,jb->...ja", body_r,
+                       jnp.asarray(model.body_com))
+    inertia_w = body_r @ jnp.asarray(model.body_inertia) \
+        @ body_r.swapaxes(-1, -2)
+    ia = sp.spatial_inertia(
+        jnp.broadcast_to(jnp.asarray(model.body_mass), batch + (nb,)),
+        com_w, inertia_w)                                   # (..., nb, 6, 6)
+    iv = jnp.einsum("...jab,...jb->...ja", ia, v_all)
+    pa = sp.cross_force(v_all, iv) - f_ext                  # (..., nb, 6)
+
+    arm3 = jnp.einsum("jkd,...d->...jk", P,
+                      jnp.asarray(model.dof_armature) + d_extra)
+    tau3 = jnp.einsum("jkd,...d->...jk", P, tau)
+
+    # ---- inward pass, one batched step per level (deepest first) --------
+    eye3 = jnp.eye(3, dtype=dtype)
+    saved = {}
+    for lvl in reversed(range(len(levels))):
+        li = levels[lvl]                                    # body indices
+        ji = li - 1                                         # joint indices
+        s_l = s_all[..., ji, :, :]                          # (..., L, 6, 3)
+        ia_l = ia[..., li, :, :]
+        pa_l = pa[..., li, :]
+        cb_l = c_bias[..., ji, :]
+        r_l = r_all[..., ji, :]
+        val = valid[ji]                                     # (L, 3)
+
+        u = ia_l @ s_l                                      # (..., L, 6, 3)
+        dmat = s_l.swapaxes(-1, -2) @ u
+        dmat = dmat + arm3[..., ji, :, None] * eye3 \
+            + (1.0 - val)[..., None] * eye3                 # pad invalid dims
+        dinv = _inv3(dmat)
+        u_bias = tau3[..., ji, :] - jnp.einsum("...lak,...la->...lk",
+                                               s_l, pa_l)
+        ud = u @ dinv
+        ia_art = ia_l - ud @ u.swapaxes(-1, -2)
+        pa_art = (pa_l
+                  + jnp.einsum("...lab,...lb->...la", ia_art, cb_l)
+                  + jnp.einsum("...lak,...lk->...la", ud, u_bias))
+        ia_shift = sp.shift_inertia(ia_art, r_l)
+        pa_shift = sp.shift_force(pa_art, r_l)
+        # scatter-add into parents (siblings may share a parent)
+        oh = np.zeros((len(li), nb), np.float32)
+        oh[np.arange(len(li)), parents[ji]] = 1.0
+        oh = jnp.asarray(oh)
+        ia = ia + jnp.einsum("ln,...lab->...nab", oh, ia_shift)
+        pa = pa + jnp.einsum("ln,...la->...na", oh, pa_shift)
+        saved[lvl] = (u, dinv, u_bias)
+
+    # ---- root solve (free joint; gravity as fictitious base accel) ------
+    a_base = jnp.zeros(batch + (6,), dtype).at[..., 5].set(-params.gravity)
+    ia0 = ia[..., 0, :, :]
+    rhs = -(pa[..., 0, :] + jnp.einsum("...ij,...j->...i", ia0, a_base))
+    root_acc = _solve6_sym(ia0 + 1e-6 * jnp.eye(6, dtype=dtype), rhs)
+
+    # ---- outward pass (shallowest first) ---------------------------------
+    a_all = jnp.zeros(batch + (nb, 6), dtype)
+    a_all = a_all.at[..., 0, :].set(a_base + root_acc)
+    qdd = jnp.zeros(batch + (model.dof_size,), dtype)
+    for lvl in range(len(levels)):
+        li = levels[lvl]
+        ji = li - 1
+        u, dinv, u_bias = saved[lvl]
+        a_par = a_all[..., parents[ji], :]
+        a_p = sp.shift_motion(a_par, r_all[..., ji, :]) + c_bias[..., ji, :]
+        ua = jnp.einsum("...lak,...la->...lk", u, a_p)
+        qdd3 = jnp.einsum("...lkm,...lm->...lk", dinv, u_bias - ua)
+        qdd = qdd + jnp.einsum("jkd,...jk->...d",
+                               P[ji], qdd3)
+        a_l = a_p + jnp.einsum("...lak,...lk->...la",
+                               s_all[..., ji, :, :], qdd3)
+        a_all = a_all.at[..., li, :].set(a_l)
 
     return root_acc, qdd
 

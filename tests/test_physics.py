@@ -87,6 +87,13 @@ def test_unbalanced_statue_falls(model, flat_terrain):
     staying up forever would indicate non-physical contact."""
     params = engine.SimParams()
     state = _default_state(model, z=0.95)
+    # slight initial lean: a bit-exact symmetric statue is an unstable
+    # equilibrium that only float noise would break, which is
+    # formulation-dependent — tip it physically instead
+    from parc_tpu.utils import rotation as rot_lib
+    tilt = rot_lib.exp_map_to_quat(jnp.asarray([0.05, 0.0, 0.0]))
+    state = state.replace(root_rot=rot_lib.quat_mul(tilt, state.root_rot))
+    state = engine.refresh_kinematics(model, state)
     target = jnp.zeros((model.dof_size,))
     step = jax.jit(lambda s: engine.control_step(
         model, params, flat_terrain, s, target))
@@ -124,3 +131,74 @@ def test_contact_on_raised_platform(model):
         state = step(state)
     z = float(state.root_pos[2])
     assert 1.8 < z < 2.05, z
+
+
+def test_aba_level_parallel_matches_reference():
+    """The production level-parallel ABA must match the per-joint reference
+    formulation to float32 noise on a randomized state."""
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import standing_clip
+    from parc_tpu.envs.base import EnvConfig
+    from parc_tpu.envs.deepmimic import DeepMimicEnv
+    from parc_tpu.anim import motion_lib as ml
+
+    model = humanoid_spec().build()
+    env = DeepMimicEnv(model, engine.SimParams(), EnvConfig(num_envs=8))
+    lib = ml.build_motion_lib(model, [standing_clip()])
+    sim = env.reset(lib, jax.random.PRNGKey(0)).sim
+    rng = np.random.default_rng(0)
+    sim = sim.replace(
+        root_vel=jnp.asarray(rng.normal(size=(8, 3)), jnp.float32),
+        root_ang_vel=jnp.asarray(rng.normal(size=(8, 3)), jnp.float32),
+        dof_vel=jnp.asarray(rng.normal(size=(8, model.dof_size)),
+                            jnp.float32))
+    sim = engine.refresh_kinematics(model, sim)
+    tau = jnp.asarray(rng.normal(size=(8, model.dof_size)), jnp.float32)
+    d_extra = jnp.asarray(rng.uniform(0, 0.1, (8, model.dof_size)),
+                          jnp.float32)
+    f_ext = jnp.asarray(rng.normal(size=(8, model.num_bodies, 6)),
+                        jnp.float32)
+    ra1, q1 = engine.aba_reference(model, env.sim_params, sim, tau, d_extra,
+                                   f_ext, 1 / 120)
+    ra2, q2 = engine.aba(model, env.sim_params, sim, tau, d_extra,
+                         f_ext, 1 / 120)
+    np.testing.assert_allclose(np.asarray(ra1), np.asarray(ra2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_aba_soa_matches_reference_eager():
+    """SoA (TPU production) ABA parity vs reference, evaluated eagerly
+    (the SoA graph is intentionally never jitted on CPU)."""
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import standing_clip
+    from parc_tpu.envs.base import EnvConfig
+    from parc_tpu.envs.deepmimic import DeepMimicEnv
+    from parc_tpu.anim import motion_lib as ml
+    from parc_tpu.physics.aba_soa import aba_soa
+
+    model = humanoid_spec().build()
+    env = DeepMimicEnv(model, engine.SimParams(), EnvConfig(num_envs=8))
+    lib = ml.build_motion_lib(model, [standing_clip()])
+    sim = env.reset(lib, jax.random.PRNGKey(0)).sim
+    rng = np.random.default_rng(1)
+    sim = sim.replace(
+        root_vel=jnp.asarray(rng.normal(size=(8, 3)), jnp.float32),
+        root_ang_vel=jnp.asarray(rng.normal(size=(8, 3)), jnp.float32),
+        dof_vel=jnp.asarray(rng.normal(size=(8, model.dof_size)),
+                            jnp.float32))
+    sim = engine.refresh_kinematics(model, sim)
+    tau = jnp.asarray(rng.normal(size=(8, model.dof_size)), jnp.float32)
+    d_extra = jnp.asarray(rng.uniform(0, 0.1, (8, model.dof_size)),
+                          jnp.float32)
+    f_ext = jnp.asarray(rng.normal(size=(8, model.num_bodies, 6)),
+                        jnp.float32)
+    ra1, q1 = engine.aba_reference(model, env.sim_params, sim, tau, d_extra,
+                                   f_ext, 1 / 120)
+    ra2, q2 = aba_soa(model, env.sim_params, sim, tau, d_extra,
+                      f_ext, 1 / 120)
+    np.testing.assert_allclose(np.asarray(ra1), np.asarray(ra2),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
+                               rtol=1e-4, atol=1e-3)
