@@ -164,6 +164,23 @@ def stage_setup_iter(cfg: dict):
         print(f"wrote {path}")
 
 
+def stage_metrics(cfg: dict):
+    """Per-clip quality metrics + dataset statistics for a motion dir
+    (reference: tools/motion_tests/compute_losses.py, compute_stats.py)."""
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.tools import metrics
+    model = _build_model()
+    motions_dir = cfg["motions_dir"]
+    csv_path = cfg.get("out", os.path.join(motions_dir, "metrics.csv"))
+    rows = metrics.evaluate_motion_dir(model, motions_dir, csv_path=csv_path)
+    print(f"wrote {csv_path} ({len(rows)} clips)")
+    motions = [md.load_motion_data(os.path.join(motions_dir, r["file"]))
+               for r in rows]
+    if motions:
+        for k, v in metrics.dataset_statistics(model, motions).items():
+            print(f"{k}: {v:.4f}")
+
+
 STAGES = {
     "create_dataset": stage_create_dataset,
     "train_mdm": stage_train_mdm,
@@ -171,6 +188,7 @@ STAGES = {
     "train_tracker": stage_train_tracker,
     "record": stage_record,
     "setup_iter": stage_setup_iter,
+    "metrics": stage_metrics,
 }
 
 

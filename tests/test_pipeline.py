@@ -128,3 +128,40 @@ def test_kin_gen_smoke(dataset_yaml, model, tmp_path):
         assert clip.frames.shape[-1] == 34
         assert clip.terrain is not None
         assert np.all(np.isfinite(clip.frames))
+
+
+def test_mdm_validation_harness(dataset_yaml, model, tmp_path):
+    """Seeded validation generation over a fixture terrain+path
+    (reference: tools/motion_tests/mdm_validation_test.py)."""
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.pipeline import dataset
+    from parc_tpu.procgen import mdm_path
+    from parc_tpu.tools import validation
+    from parc_tpu.utils import terrain as terrain_lib
+
+    lib = dataset.load_dataset(model, dataset_yaml)
+    mdm = MDM(model, MDMConfig(diffusion_timesteps=11, d_model=32,
+                               num_heads=2, d_hid=32, num_layers=1))
+    state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=64)
+
+    terrain = terrain_lib.create_terrain(24, 24, dx=0.4, min_x=-4.8,
+                                         min_y=-4.8)
+    nodes = np.asarray([[-3.0, -3.0, 0.0], [0.0, 0.0, 0.0],
+                        [3.0, 3.0, 0.0]], np.float32)
+    fx = validation.ValidationFixture("flat_diag", terrain, nodes)
+    cfg = mdm_path.PathGenSettings(batch_size=2, max_seconds=1.0)
+    rows = validation.run_validation(
+        mdm, state, [fx], output_dir=str(tmp_path / "val"), seed=0,
+        path_cfg=cfg, top_k=2)
+    assert len(rows) == 2
+    for r in rows:
+        assert np.isfinite(r["mean_jerk"])
+        assert r["final_node_dist"] is not None
+    summary = validation.summarize(rows)
+    assert "final_node_dist_mean" in summary
+    # deterministic: same seed -> same metrics
+    rows2 = validation.run_validation(mdm, state, [fx], seed=0,
+                                      path_cfg=cfg, top_k=2)
+    assert rows2[0]["mean_jerk"] == rows[0]["mean_jerk"]
+    import os
+    assert len(os.listdir(tmp_path / "val")) == 2

@@ -230,3 +230,65 @@ def test_native_mesher_valid():
     assert np.allclose(np.sort(np.unique(np.round(hf, 5))),
                        np.sort(np.intersect1d(np.round(np.unique(v[:, 2]), 5),
                                               np.round(np.unique(hf), 5))))
+
+
+# ---------------------------------------------------------------------------
+# Metrics / validation / converters (reference: tools/motion_tests,
+# convert_parc_to_bvh.py, inspect_pkl.py)
+# ---------------------------------------------------------------------------
+
+
+def test_motion_metrics_and_stats():
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import walking_clip
+    from parc_tpu.tools import metrics
+    model = humanoid_spec().build()
+    clip = walking_clip(seed=0)
+    m = metrics.compute_motion_metrics(model, clip)
+    assert m.motion_length == 3.0
+    assert np.isfinite(m.mean_jerk) and m.max_jerk >= m.mean_jerk
+    assert m.pen_loss >= 0.0 and m.contact_loss >= 0.0
+    stats = metrics.dataset_statistics(model, [clip])
+    assert stats["max_jerk"] >= stats["mean_jerk"] > 0
+    gp = metrics.guidance_params_from_stats(stats)
+    assert gp.guide_jerk and gp.max_jerk == stats["max_jerk"]
+
+
+def test_metrics_dir_csv(tmp_path):
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import standing_clip, walking_clip
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.tools import metrics
+    model = humanoid_spec().build()
+    md.save_motion_data(str(tmp_path / "a.npz"), standing_clip())
+    md.save_motion_data(str(tmp_path / "b.npz"), walking_clip(seed=1))
+    rows = metrics.evaluate_motion_dir(model, str(tmp_path),
+                                       csv_path=str(tmp_path / "m.csv"))
+    assert len(rows) == 2
+    csv_text = (tmp_path / "m.csv").read_text()
+    assert "mean_jerk" in csv_text and csv_text.count("\n") == 3
+
+
+def test_bvh_export_and_inspect(tmp_path):
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import walking_clip
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.tools import convert
+    model = humanoid_spec().build()
+    clip = walking_clip(seed=0)
+    p = str(tmp_path / "c.npz")
+    md.save_motion_data(p, clip)
+    info = convert.inspect_motion(p)
+    assert info["num_frames"] == 90 and info["has_terrain"]
+    bvh = str(tmp_path / "c.bvh")
+    convert.motion_to_bvh(model, clip, bvh)
+    lines = open(bvh).read().splitlines()
+    assert lines[0] == "HIERARCHY"
+    assert any(l.startswith("Frames: 90") for l in lines)
+    # channel count must match motion columns
+    ncols = len(lines[-1].split())
+    assert ncols == 6 + 3 * (model.num_bodies - 1)
+    # euler roundtrip sanity: zero rotation -> zero angles
+    import jax.numpy as jnp
+    e = convert._quat_to_euler_zxy(np.asarray([[0.0, 0, 0, 1.0]]))
+    np.testing.assert_allclose(e, 0.0, atol=1e-6)
