@@ -181,6 +181,21 @@ def stage_metrics(cfg: dict):
             print(f"{k}: {v:.4f}")
 
 
+def stage_view(cfg: dict):
+    """Export a standalone HTML viewer (and PNG strip) for a clip
+    (reference: the MOTION_FORGE viewer app)."""
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.viewer import html_viewer, render
+    model = _build_model()
+    motion = md.load_motion_data(cfg["input"])
+    out = cfg.get("out") or cfg["input"].rsplit(".", 1)[0] + ".html"
+    html_viewer.export(model, motion, out,
+                       title=os.path.basename(cfg["input"]))
+    render.render_motion_strip(model, motion,
+                               out.rsplit(".", 1)[0] + ".png")
+    print(f"wrote {out} (+ .png strip)")
+
+
 STAGES = {
     "create_dataset": stage_create_dataset,
     "train_mdm": stage_train_mdm,
@@ -189,6 +204,7 @@ STAGES = {
     "record": stage_record,
     "setup_iter": stage_setup_iter,
     "metrics": stage_metrics,
+    "view": stage_view,
 }
 
 
@@ -196,6 +212,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="parc_tpu.pipeline")
     p.add_argument("stage", choices=sorted(STAGES))
     p.add_argument("--config", default=None)
+    p.add_argument("--input", default=None)
     p.add_argument("--dataset", default=None)
     p.add_argument("--motions_dir", default=None)
     p.add_argument("--out", default=None)

@@ -144,3 +144,25 @@ def test_vision_policies(setup, net):
     new_state, metrics = train(state)
     assert np.isfinite(float(metrics.mean_reward))
     assert np.all(np.isfinite(np.asarray(jax.tree.leaves(new_state.params)[0])))
+
+
+def test_network_diagnostics(setup):
+    """Dormant units + stable rank (reference: dm_ppo_agent.test_model2)."""
+    from parc_tpu.learning import diagnostics
+    env, lib, agent = setup
+    state = agent.init(lib, jax.random.PRNGKey(4))
+    report = diagnostics.full_report(agent, state, state.env_state.obs)
+    w = report["weights"]
+    assert len(w) >= 4  # trunk layers + heads
+    for name, d in w.items():
+        assert 1 <= d["stable_rank"] <= d["max_rank"], name
+        assert d["mean_abs_weight"] > 0
+    acts = report["activations"]
+    assert acts
+    for name, d in acts.items():
+        assert 0.0 <= d["dormant_frac"] <= 1.0
+    # a rank-1 matrix has stable rank 1
+    w1 = np.outer(np.ones(8), np.arange(1, 9.0))
+    assert diagnostics.stable_rank(w1) == 1
+    # identity has full stable rank (99% mass needs 99% of values)
+    assert diagnostics.stable_rank(np.eye(100)) == 99

@@ -292,3 +292,28 @@ def test_bvh_export_and_inspect(tmp_path):
     import jax.numpy as jnp
     e = convert._quat_to_euler_zxy(np.asarray([[0.0, 0, 0, 1.0]]))
     np.testing.assert_allclose(e, 0.0, atol=1e-6)
+
+
+def test_viewer_exports(tmp_path):
+    """HTML viewer + matplotlib stills (MOTION_FORGE viewing core)."""
+    import json, re
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import walking_clip
+    from parc_tpu.viewer import html_viewer, render
+    model = humanoid_spec().build()
+    clip = walking_clip(seed=0)
+    nodes = np.asarray([[-3, -3, 0], [3, 3, 0]], np.float32)
+    html_path = str(tmp_path / "v.html")
+    html_viewer.export(model, clip, html_path, path_nodes=nodes)
+    html = open(html_path).read()
+    data = json.loads(re.search(r"const DATA = (.*?);\n", html, re.S).group(1))
+    assert len(data["body_pos"]) == 90
+    assert len(data["body_pos"][0]) == model.num_bodies
+    assert data["terrain"] is not None and data["path"] is not None
+    assert "<canvas" in html and "requestAnimation" in html or "setInterval" in html
+
+    png = str(tmp_path / "s.png")
+    render.render_motion_strip(model, clip, png, path_nodes=nodes)
+    assert (tmp_path / "s.png").stat().st_size > 5000
+    render.render_pose_3d(model, clip, 10, str(tmp_path / "p.png"))
+    assert (tmp_path / "p.png").stat().st_size > 5000
