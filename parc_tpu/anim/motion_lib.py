@@ -261,3 +261,65 @@ def frames_34d(model: cm.CharModel, frame: MotionFrame) -> jax.Array:
     return jnp.concatenate([
         frame.root_pos, rot.quat_to_exp_map(frame.root_rot),
         cm.rot_to_dof(model, frame.joint_rot)], axis=-1)
+
+
+def append_terrain_slot(lib: MotionLib,
+                        terrain: terrain_lib.Terrain) -> MotionLib:
+    """Append one zero-weight dummy motion carrying ``terrain`` as its
+    per-motion terrain (host-side).
+
+    Used by the parkour composition env: MDM-driven envs pin their
+    motion_id to this slot so terrain lookup / fail-rate accounting reuse
+    the per-motion machinery while reference frames come from the
+    generated ring buffer (reference swaps whole MotionLibs instead:
+    envs/ig_parkour/mgdm_env.py:769-773).
+    """
+    hf_new = np.asarray(terrain.hf, np.float32)
+    old_hf = np.asarray(lib.terrain_hf)
+    old_mm = np.asarray(lib.terrain_maxmin)
+    ht = max(old_hf.shape[1], hf_new.shape[0])
+    wt = max(old_hf.shape[2], hf_new.shape[1])
+
+    def pad2(h, a, b):
+        return np.pad(h, ((0, a - h.shape[0]), (0, b - h.shape[1])),
+                      mode="edge")
+
+    hf_stack = np.stack([pad2(h, ht, wt) for h in old_hf] +
+                        [pad2(hf_new, ht, wt)])
+    mm_new = np.stack([hf_new + 3.0, hf_new - 3.0], -1)
+    mm_stack = np.stack(
+        [np.pad(m, ((0, ht - m.shape[0]), (0, wt - m.shape[1]), (0, 0)),
+                mode="edge") for m in old_mm] +
+        [np.pad(mm_new, ((0, ht - mm_new.shape[0]),
+                         (0, wt - mm_new.shape[1]), (0, 0)), mode="edge")])
+
+    f = int(np.asarray(lib.num_frames).sum())
+    two = 2  # dummy frames (never sampled: weight 0, never a dm target)
+    pad_frames = lambda x: jnp.concatenate(
+        [x, jnp.zeros((two,) + x.shape[1:], x.dtype)])
+    return lib.replace(
+        frame_root_pos=pad_frames(lib.frame_root_pos),
+        frame_root_rot=pad_frames(lib.frame_root_rot).at[-two:, 3].set(1.0),
+        frame_root_vel=pad_frames(lib.frame_root_vel),
+        frame_root_ang_vel=pad_frames(lib.frame_root_ang_vel),
+        frame_joint_rot=pad_frames(lib.frame_joint_rot).at[-two:, :, 3]
+        .set(1.0),
+        frame_dof_vel=pad_frames(lib.frame_dof_vel),
+        frame_contacts=pad_frames(lib.frame_contacts),
+        start_idx=jnp.concatenate(
+            [lib.start_idx, jnp.asarray([f], jnp.int32)]),
+        num_frames=jnp.concatenate(
+            [lib.num_frames, jnp.asarray([two], jnp.int32)]),
+        lengths=jnp.concatenate([lib.lengths, jnp.asarray([1.0 / 30.0])]),
+        fps=jnp.concatenate([lib.fps, jnp.asarray([30.0])]),
+        loop_modes=jnp.concatenate(
+            [lib.loop_modes, jnp.asarray([LOOP_CLAMP], jnp.int32)]),
+        weights=jnp.concatenate([lib.weights, jnp.zeros((1,))]),
+        root_pos_delta=jnp.concatenate(
+            [lib.root_pos_delta, jnp.zeros((1, 3))]),
+        terrain_hf=jnp.asarray(hf_stack),
+        terrain_maxmin=jnp.asarray(mm_stack),
+        terrain_min_point=jnp.concatenate(
+            [lib.terrain_min_point,
+             jnp.asarray(terrain.min_point, jnp.float32)[None, :2]]),
+    )

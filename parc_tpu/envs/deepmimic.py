@@ -203,7 +203,8 @@ class DeepMimicEnv:
         ids = jnp.broadcast_to(motion_ids[..., None], times.shape)
         return ml.calc_motion_frame(lib, ids, times)
 
-    def _compute_obs(self, lib: ml.MotionLib, state: EnvState) -> jax.Array:
+    def _compute_obs(self, lib: ml.MotionLib, state: EnvState,
+                     tar: Optional[ml.MotionFrame] = None) -> jax.Array:
         cfg = self.cfg
         sim = state.sim
         key_pos = sim.body_pos[..., self.key_body_ids, :]
@@ -212,7 +213,8 @@ class DeepMimicEnv:
             sim.joint_rot, sim.dof_vel, key_pos,
             cfg.global_obs, cfg.root_height_obs)
 
-        tar = self._tar_frames(lib, state.motion_ids, state.motion_times)
+        if tar is None:
+            tar = self._tar_frames(lib, state.motion_ids, state.motion_times)
         tar_body_pos, _ = cm.forward_kinematics(
             self.model, tar.root_pos, tar.root_rot, tar.joint_rot)
         tar_key_pos = tar_body_pos[..., self.key_body_ids, :]

@@ -1,0 +1,386 @@
+"""Parkour env: the composed training environment (dm + mgdm envs).
+
+Reference parity: envs/ig_parkour/ig_parkour_env.py:53-1719 — THE training
+env. N envs are split into a ``dm`` fraction that tracks dataset clips on
+their per-motion terrains (DeepMimicEnv) and an ``mgdm`` fraction whose
+reference motion is *generated online* by the MDM on a shared procgen
+terrain, with all mgdm envs replanning synchronously (mgdm_env.py:575-826).
+
+TPU design (SURVEY §7):
+* the generated references live in a fixed-shape ring buffer inside the
+  env state — the reference swaps in a fresh MotionLib each replan
+  (mgdm_env.py:769-773), which would retrace under jit;
+* the replan (a batched MDM DDIM call) runs inside the jitted step under a
+  ``lax.cond`` on a synchronized timer, so the PPO rollout scan stays one
+  XLA program with zero host syncs;
+* the mgdm terrain is appended to the MotionLib as a zero-weight terrain
+  slot (ml.append_terrain_slot) so terrain lookup / fail-rate accounting
+  reuse the per-motion machinery;
+* the MDM parameters ride in a ``ParkourLib`` bundle next to the MotionLib
+  (device data enters as a jit argument, never a closure).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from parc_tpu.anim import char_model as cm
+from parc_tpu.anim import motion_lib as ml
+from parc_tpu.diffusion import gen as gen_lib
+from parc_tpu.diffusion.mdm import MDM, MDMState
+from parc_tpu.envs import obs as obs_mod
+from parc_tpu.envs.base import DoneFlags, EnvConfig, EnvState
+from parc_tpu.envs.deepmimic import DeepMimicEnv
+from parc_tpu.physics import engine
+from parc_tpu.utils import rotation as rot
+from parc_tpu.utils import terrain as terrain_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class ParkourConfig:
+    """Composition config (reference: ig_parkour_env.py:65-67 env split +
+    mgdm_env replan/target settings)."""
+
+    mgdm_num: int = 0               # envs [N-mgdm_num, N) use the MDM
+    plan_frames: int = 15           # generated window length (control steps)
+    target_radius: float = 3.0
+    min_target_dist: float = 1.0
+    ddim_stride: int = 20
+    guidance_scale: float = 1.0
+    spawn_margin_cells: int = 4
+
+
+@struct.dataclass
+class ParkourLib:
+    """Device bundle passed wherever PPO passes `lib`."""
+
+    lib: ml.MotionLib
+    mdm_state: MDMState
+
+    @property
+    def num_motions(self) -> int:
+        return self.lib.num_motions
+
+
+@struct.dataclass
+class ParkourState(EnvState):
+    ref_frames34: jax.Array   # (Nm, T, 34) generated reference windows
+    ref_contacts: jax.Array   # (Nm, T, B)
+    target_xy: jax.Array      # (Nm, 2)
+    replan_timer: jax.Array   # () steps until next synchronized replan
+
+
+def _buffer_frame(model: cm.CharModel, frames34: jax.Array,
+                  contacts: jax.Array, times: jax.Array,
+                  fps: float) -> ml.MotionFrame:
+    """Sample a MotionFrame from a (N, T, 34) window buffer at ``times``
+    (seconds; clamped). times may carry extra trailing axes (N, S...)."""
+    t_len = frames34.shape[1]
+    fidx = jnp.clip(times * fps, 0.0, t_len - 1)
+    i0 = jnp.floor(fidx).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, t_len - 1)
+    blend = (fidx - i0)[..., None]
+    n_idx = jnp.arange(frames34.shape[0])
+    n_idx = n_idx.reshape((-1,) + (1,) * (times.ndim - 1))
+    f0 = frames34[n_idx, i0]
+    f1 = frames34[n_idx, i1]
+    c = (1 - blend) * contacts[n_idx, i0] + blend * contacts[n_idx, i1]
+
+    root_pos = (1 - blend) * f0[..., 0:3] + blend * f1[..., 0:3]
+    q0 = rot.exp_map_to_quat(f0[..., 3:6])
+    q1 = rot.exp_map_to_quat(f1[..., 3:6])
+    root_rot = rot.slerp(q0, q1, blend[..., 0])
+    j0 = cm.dof_to_rot(model, f0[..., 6:])
+    j1 = cm.dof_to_rot(model, f1[..., 6:])
+    joint_rot = rot.slerp(j0, j1, blend)
+
+    # velocities: forward differences over the buffer at i0
+    i0n = jnp.minimum(i0 + 1, t_len - 1)
+    fa = frames34[n_idx, i0]
+    fb = frames34[n_idx, i0n]
+    root_vel = (fb[..., 0:3] - fa[..., 0:3]) * fps
+    dq = rot.quat_diff(rot.exp_map_to_quat(fa[..., 3:6]),
+                       rot.exp_map_to_quat(fb[..., 3:6]))
+    root_ang_vel = rot.quat_to_exp_map(dq) * fps
+    dof_vel_exp = cm.joint_exp_maps(
+        model, fb[..., 6:] - fa[..., 6:])  # small-angle approx per frame
+    dof_vel = cm.project_to_dof(model, dof_vel_exp) * fps
+
+    return ml.MotionFrame(root_pos=root_pos, root_rot=root_rot,
+                          root_vel=root_vel, root_ang_vel=root_ang_vel,
+                          joint_rot=joint_rot, dof_vel=dof_vel,
+                          contacts=c)
+
+
+class ParkourEnv(DeepMimicEnv):
+    """DeepMimicEnv with an MDM-driven env fraction."""
+
+    def __init__(self, model: cm.CharModel, sim_params: engine.SimParams,
+                 cfg: EnvConfig, pcfg: ParkourConfig, mdm: MDM,
+                 mgdm_terrain: terrain_lib.Terrain):
+        super().__init__(model, sim_params, cfg)
+        assert 0 <= pcfg.mgdm_num <= cfg.num_envs
+        self.pcfg = pcfg
+        self.mdm = mdm
+        self.mgdm_terrain = jax.tree.map(np.asarray, mgdm_terrain)
+        n = cfg.num_envs
+        self.n_dm = n - pcfg.mgdm_num
+        mask = np.zeros((n,), bool)
+        mask[self.n_dm:] = True
+        self.mgdm_mask = mask                      # static numpy
+
+    # -- lib plumbing ----------------------------------------------------
+    def make_lib(self, lib: ml.MotionLib,
+                 mdm_state: MDMState) -> ParkourLib:
+        """Bundle a dataset lib (terrain slot appended) with MDM weights."""
+        lib = ml.append_terrain_slot(lib, self.mgdm_terrain)
+        return ParkourLib(lib=lib, mdm_state=mdm_state)
+
+    @staticmethod
+    def _unwrap(bundle):
+        if isinstance(bundle, ParkourLib):
+            # mgdm rows must not time out on the dummy slot's length
+            lib = bundle.lib
+            lib = lib.replace(lengths=lib.lengths.at[-1].set(1e9))
+            return lib, bundle.mdm_state
+        return bundle, None
+
+    # -- mgdm helpers ------------------------------------------------------
+    def _sample_targets(self, rng, root_xy):
+        pcfg = self.pcfg
+        ang = jax.random.uniform(rng, root_xy.shape[:-1]) * 2 * jnp.pi
+        rad = pcfg.min_target_dist + jax.random.uniform(
+            jax.random.fold_in(rng, 1), root_xy.shape[:-1]) * (
+                pcfg.target_radius - pcfg.min_target_dist)
+        tgt = root_xy + jnp.stack([jnp.cos(ang) * rad,
+                                   jnp.sin(ang) * rad], axis=-1)
+        t = self.mgdm_terrain
+        m = 2 * t.dxdy
+        return jnp.clip(tgt, t.min_point + m, t.max_point - m)
+
+    def _standing_windows(self, rng, n):
+        """Standing reference windows at random spawns on the terrain."""
+        pcfg = self.pcfg
+        t = self.mgdm_terrain
+        m = pcfg.spawn_margin_cells * t.dxdy
+        k_pos, k_tgt = jax.random.split(rng)
+        xy = t.min_point + m + jax.random.uniform(k_pos, (n, 2)) * (
+            t.max_point - t.min_point - 2 * m)
+        ground = terrain_lib.get_hf_val(t, xy)
+        frames = jnp.zeros((n, pcfg.plan_frames, 34))
+        frames = frames.at[..., 0:2].set(xy[:, None, :])
+        frames = frames.at[..., 2].set(ground[:, None] + 0.94)
+        contacts = jnp.zeros((n, pcfg.plan_frames, self.model.num_bodies))
+        foot_ids = [i for i, nm in enumerate(self.model.body_names)
+                    if "foot" in nm]
+        contacts = contacts.at[..., foot_ids].set(1.0)
+        return frames, contacts, self._sample_targets(k_tgt, xy)
+
+    def _replan(self, mdm_state: MDMState, state: ParkourState,
+                rng: jax.Array) -> ParkourState:
+        """Synchronized batched replan for the mgdm rows."""
+        pcfg = self.pcfg
+        k_gen, k_tgt = jax.random.split(rng)
+        prev = state.ref_frames34[:, -2:]
+        prev_c = state.ref_contacts[:, -2:]
+        new_f, new_c = gen_lib.gen_mdm_motion(
+            self.mdm, mdm_state, k_gen, prev, prev_c, self.mgdm_terrain,
+            state.target_xy,
+            settings=gen_lib.GenSettings(
+                ddim_stride=pcfg.ddim_stride,
+                guidance_scale=pcfg.guidance_scale))
+        root_xy = new_f[:, -1, 0:2]
+        reached = jnp.linalg.norm(state.target_xy - root_xy, axis=-1) < 0.75
+        target_xy = jnp.where(reached[:, None],
+                              self._sample_targets(k_tgt, root_xy),
+                              state.target_xy)
+        # mgdm rows restart their window clock
+        mt = state.motion_times.at[self.n_dm:].set(0.0)
+        return state.replace(
+            ref_frames34=new_f[:, :pcfg.plan_frames],
+            ref_contacts=new_c[:, :pcfg.plan_frames],
+            target_xy=target_xy, motion_times=mt,
+            replan_timer=jnp.asarray(pcfg.plan_frames, jnp.int32))
+
+    def _combined_ref(self, lib, state: ParkourState,
+                      times: Optional[jax.Array] = None) -> ml.MotionFrame:
+        """Reference frames: dataset lib for dm rows, buffer for mgdm rows.
+
+        times defaults to state.motion_times; may carry a steps axis."""
+        t = state.motion_times if times is None else times
+        dm_ref = ml.calc_motion_frame(lib, jnp.broadcast_to(
+            state.motion_ids.reshape(state.motion_ids.shape
+                                     + (1,) * (t.ndim - 1)), t.shape), t)
+        if self.pcfg.mgdm_num == 0:
+            return dm_ref
+        mg_ref = _buffer_frame(self.model, state.ref_frames34,
+                               state.ref_contacts, t[self.n_dm:],
+                               1.0 / self.cfg.control_dt)
+
+        def sel(a, b):
+            return jnp.concatenate([a[:self.n_dm], b], axis=0)
+        return jax.tree.map(sel, dm_ref, mg_ref)
+
+    # -- public API --------------------------------------------------------
+    def reset(self, bundle, rng: jax.Array,
+              num_envs: Optional[int] = None, motion_ids=None,
+              start_times=None) -> ParkourState:
+        lib, mdm_state = self._unwrap(bundle)
+        n = num_envs or self.cfg.num_envs
+        base = super().reset(lib, rng, num_envs=n, motion_ids=motion_ids,
+                             start_times=start_times)
+        nm = self.pcfg.mgdm_num
+        rng, k_std = jax.random.split(base.rng)
+        frames, contacts, targets = self._standing_windows(k_std, nm)
+        fields = {f.name: getattr(base, f.name)
+                  for f in dataclasses.fields(EnvState)}
+        fields["rng"] = rng
+        state = ParkourState(
+            **fields,
+            ref_frames34=frames, ref_contacts=contacts, target_xy=targets,
+            replan_timer=jnp.asarray(1, jnp.int32))
+        if nm == 0:
+            return state
+        # pin mgdm rows to the terrain slot and respawn them on the buffer
+        slot = lib.num_motions - 1
+        ids = state.motion_ids.at[self.n_dm:].set(slot)
+        mt = state.motion_times.at[self.n_dm:].set(0.0)
+        state = state.replace(motion_ids=ids, motion_times=mt,
+                              start_times=mt)
+        ref = self._combined_ref(lib, state)
+        fresh = engine.create_state(
+            self.model,
+            root_pos=ref.root_pos.at[..., 2].add(self.cfg.ref_height_buffer),
+            root_rot=ref.root_rot, joint_rot=ref.joint_rot,
+            root_vel=ref.root_vel, root_ang_vel=ref.root_ang_vel,
+            dof_vel=ref.dof_vel)
+        sim = engine.where_state(
+            jnp.asarray(self.mgdm_mask), fresh, state.sim)
+        state = state.replace(sim=sim)
+        obs0 = self._compute_obs_parkour(lib, state)
+        return state.replace(obs=obs0, terminal_obs=obs0)
+
+    def _compute_obs_parkour(self, lib, state: ParkourState) -> jax.Array:
+        steps = jnp.asarray(self.cfg.tar_obs_steps, jnp.float32)
+        times = state.motion_times[..., None] + steps * self.cfg.control_dt
+        tar = self._combined_ref(lib, state, times)
+        return super()._compute_obs(lib, state, tar=tar)
+
+    def step(self, bundle, state: ParkourState,
+             actions: jax.Array) -> ParkourState:
+        lib, mdm_state = self._unwrap(bundle)
+        cfg = self.cfg
+        nm = self.pcfg.mgdm_num
+
+        # --- synchronized replan (mgdm rows only) -------------------------
+        if nm > 0:
+            rng, k_plan = jax.random.split(state.rng)
+            state = state.replace(rng=rng,
+                                  replan_timer=state.replan_timer - 1)
+            state = jax.lax.cond(
+                state.replan_timer <= 0,
+                lambda s: self._replan(mdm_state, s, k_plan),
+                lambda s: s, state)
+
+        # --- physics -------------------------------------------------------
+        batched_terrain = terrain_lib.Terrain(
+            hf=lib.terrain_hf,
+            hf_mask=jnp.zeros(lib.terrain_hf.shape, bool),
+            hf_maxmin=jnp.zeros(lib.terrain_hf.shape + (2,)),
+            min_point=lib.terrain_min_point,
+            dxdy=lib.terrain_dxdy)
+        sim = engine.control_step(
+            self.model, self.sim_params, batched_terrain, state.sim, actions,
+            sim_steps=cfg.sim_steps_per_control,
+            terrain_idx=state.motion_ids)
+        state = state.replace(
+            sim=sim, time=state.time + cfg.control_dt,
+            motion_times=state.motion_times + cfg.control_dt)
+
+        # --- reward / done / obs against combined reference ---------------
+        ref = self._combined_ref(lib, state)
+        ref_body_pos, ref_body_rot = cm.forward_kinematics(
+            self.model, ref.root_pos, ref.root_rot, ref.joint_rot)
+        reward, comps = self._compute_reward(state, ref, ref_body_pos)
+        done = self._compute_done(lib, state, ref, ref_body_pos)
+        track_err = self._tracking_error(state, ref, ref_body_pos,
+                                         ref_body_rot)
+
+        is_done = done != DoneFlags.NULL
+        is_fail = (done == DoneFlags.FAIL).astype(jnp.float32)
+        m = lib.num_motions
+        cnt = jax.ops.segment_sum(is_done.astype(jnp.float32),
+                                  state.motion_ids, m)
+        fails = jax.ops.segment_sum(is_fail * is_done, state.motion_ids, m)
+        obs_rate = fails / jnp.maximum(cnt, 1.0)
+        ema = cfg.fail_rate_ema
+        fail_rates = jnp.where(cnt > 0,
+                               ema * state.fail_rates + (1 - ema) * obs_rate,
+                               state.fail_rates)
+
+        obs = self._compute_obs_parkour(lib, state)
+        state = state.replace(obs=obs, reward=reward, done=done,
+                              fail_rates=fail_rates,
+                              reward_components=comps,
+                              tracking_error=track_err)
+
+        # --- masked reset ---------------------------------------------------
+        rng, k_dm, k_mg = jax.random.split(state.rng, 3)
+        n = state.done.shape[0]
+        r_ids, r_times, r_sim = self._sample_reset(lib, k_dm, n, fail_rates)
+        reset_state = state.replace(
+            sim=r_sim, motion_ids=r_ids, motion_times=r_times,
+            start_times=r_times, time=jnp.zeros_like(state.time), rng=rng)
+        if nm > 0:
+            # mgdm rows: respawn on fresh standing windows
+            frames, contacts, targets = self._standing_windows(k_mg, nm)
+            mg_done = is_done[self.n_dm:]
+            sel3 = mg_done.reshape((-1,) + (1,) * 2)
+            reset_state = reset_state.replace(
+                ref_frames34=jnp.where(sel3, frames, state.ref_frames34),
+                ref_contacts=jnp.where(sel3, contacts, state.ref_contacts),
+                target_xy=jnp.where(mg_done[:, None], targets,
+                                    state.target_xy),
+                motion_ids=reset_state.motion_ids.at[self.n_dm:].set(
+                    lib.num_motions - 1),
+                motion_times=reset_state.motion_times.at[self.n_dm:]
+                .set(0.0),
+                start_times=reset_state.start_times.at[self.n_dm:].set(0.0))
+            mg_ref = self._combined_ref(lib, reset_state)
+            fresh = engine.create_state(
+                self.model,
+                root_pos=mg_ref.root_pos.at[..., 2].add(
+                    cfg.ref_height_buffer),
+                root_rot=mg_ref.root_rot, joint_rot=mg_ref.joint_rot,
+                root_vel=mg_ref.root_vel, root_ang_vel=mg_ref.root_ang_vel,
+                dof_vel=mg_ref.dof_vel)
+            reset_state = reset_state.replace(sim=engine.where_state(
+                jnp.asarray(self.mgdm_mask), fresh, reset_state.sim))
+        reset_state = reset_state.replace(
+            obs=self._compute_obs_parkour(lib, reset_state))
+
+        def sel(a, b):
+            mask = is_done.reshape(is_done.shape
+                                   + (1,) * (a.ndim - is_done.ndim))
+            return jnp.where(mask, a, b)
+
+        return state.replace(
+            sim=jax.tree.map(sel, reset_state.sim, state.sim),
+            obs=sel(reset_state.obs, state.obs),
+            motion_ids=sel(reset_state.motion_ids, state.motion_ids),
+            motion_times=sel(reset_state.motion_times, state.motion_times),
+            start_times=sel(reset_state.start_times, state.start_times),
+            time=sel(reset_state.time, state.time),
+            ref_frames34=reset_state.ref_frames34,
+            ref_contacts=reset_state.ref_contacts,
+            target_xy=reset_state.target_xy,
+            replan_timer=state.replan_timer,
+            done=done, reward=reward, rng=rng, terminal_obs=obs,
+            fail_rates=fail_rates, reward_components=comps,
+            tracking_error=track_err)

@@ -71,3 +71,30 @@ def shard_agent_state(mesh: Mesh, agent_state: Any, num_envs: int) -> Any:
         sample_count=NamedSharding(mesh, P()),
     )
     return jax.device_put(agent_state, shardings)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (TPU pods / multi-host CPU).
+
+    Replaces the reference's torch.distributed TCP rendezvous
+    (util/mp_util.py:10-41): with JAX each host calls
+    ``jax.distributed.initialize`` once and all hosts then participate in
+    the same GSPMD programs over DCN+ICI. No-op when already initialized
+    or when running single-process.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except (ValueError, RuntimeError):
+        # single-process / no coordinator configured: run locally
+        pass
+
+
+def is_primary() -> bool:
+    """True on the logging/checkpointing process (reference pattern:
+    root-proc-only save/log — util/mp_util.py + base_agent.py:127)."""
+    return jax.process_index() == 0
