@@ -239,6 +239,16 @@ def compute_joint_torques(model: cm.CharModel, params: SimParams,
     kd = model.dof_damping
     effort = model.dof_motor_effort * params.torque_limit_scale
 
+    if params.control_mode == "torque":
+        # direct torque actuation (reference control_mode 'torque':
+        # envs/ig_char_env.py:20-25) — pd_target_dof carries torques
+        tau = jnp.clip(pd_target_dof * effort, -effort, effort)
+        return tau, jnp.zeros_like(tau)
+    if params.control_mode == "vel":
+        # velocity-target actuation (reference 'vel' drive mode)
+        tau = kd * (pd_target_dof - state.dof_vel)
+        tau = jnp.clip(tau, -effort, effort)
+        return tau, jnp.zeros_like(tau)
     if params.control_mode == "pd_exp":
         tau = kp * err - kd * state.dof_vel
         tau = jnp.clip(tau, -effort, effort)

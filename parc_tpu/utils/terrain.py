@@ -513,3 +513,48 @@ def hf_to_voxelized_trimesh(hf: np.ndarray, min_x: float, min_y: float,
     faces.append(np.stack([c0 + 2, c1, c0 + 3], -1).reshape(-1, 3))
     faces.append(np.stack([c0 + 3, c1, c1 + 1], -1).reshape(-1, 3))
     return verts, np.concatenate(faces, 0)
+
+
+def linear_parkour_course(rng: np.random.Generator, x_dim: int = 48,
+                          y_dim: int = 16, dx: float = 0.4,
+                          num_blocks: int = 6,
+                          height_range: Tuple[float, float] = (-1.0, 1.5),
+                          width_range: Tuple[int, int] = (2, 6)) -> Terrain:
+    """Linear parkour course: a runway along x with raised/lowered blocks at
+    random stations (reference: util/terrain_util.py:320-543
+    linear/random_linear_parkour_course — hf-based; the reference also
+    emits a trimesh, which on TPU comes from hf_to_voxelized_trimesh)."""
+    hf = np.zeros((x_dim, y_dim), np.float32)
+    stations = np.sort(rng.choice(
+        np.arange(4, x_dim - 4), size=num_blocks, replace=False))
+    for cx in stations:
+        h = rng.uniform(*height_range)
+        wx = rng.integers(*width_range)
+        wy = rng.integers(y_dim // 3, y_dim)
+        y0 = rng.integers(0, max(y_dim - wy, 1))
+        hf[cx:cx + wx, y0:y0 + wy] = h
+    half_x, half_y = x_dim * dx / 2, y_dim * dx / 2
+    t = create_terrain(x_dim, y_dim, dx=dx, min_x=-half_x, min_y=-half_y)
+    return t.replace(hf=jnp.asarray(hf))
+
+
+def generate_cave(rng: np.random.Generator, x_dim: int = 48,
+                  y_dim: int = 48, dx: float = 0.4,
+                  num_iterations: int = 5, fill_p: float = 0.5,
+                  birth_threshold: int = 6, death_threshold: int = 4,
+                  wall_height: float = 3.0) -> Terrain:
+    """Cellular-automata cave terrain (reference:
+    util/terrain_util.py:2137-2166): random fill then birth/death smoothing;
+    alive cells become walls."""
+    alive = rng.random((x_dim, y_dim)) < fill_p
+    for _ in range(num_iterations):
+        padded = np.pad(alive.astype(np.int32), 1)
+        count = sum(padded[1 + di:x_dim + 1 + di, 1 + dj:y_dim + 1 + dj]
+                    for di in (-1, 0, 1) for dj in (-1, 0, 1))
+        birth = (count >= birth_threshold) & ~alive
+        death = (count <= death_threshold) & alive
+        alive = (alive | birth) & ~death
+    hf = alive.astype(np.float32) * wall_height
+    half_x, half_y = x_dim * dx / 2, y_dim * dx / 2
+    t = create_terrain(x_dim, y_dim, dx=dx, min_x=-half_x, min_y=-half_y)
+    return t.replace(hf=jnp.asarray(hf))

@@ -317,3 +317,54 @@ def test_viewer_exports(tmp_path):
     assert (tmp_path / "s.png").stat().st_size > 5000
     render.render_pose_3d(model, clip, 10, str(tmp_path / "p.png"))
     assert (tmp_path / "p.png").stat().st_size > 5000
+
+
+def test_procgen_courses_and_control_modes():
+    """linear parkour course + cave procgen; torque/vel control modes."""
+    import jax
+    import jax.numpy as jnp
+    from parc_tpu.utils import terrain as T
+    from parc_tpu.physics import engine
+    from parc_tpu.data.humanoid import humanoid_spec
+    rng = np.random.default_rng(0)
+    course = T.linear_parkour_course(rng)
+    assert course.hf.shape == (48, 16)
+    assert float(jnp.abs(course.hf).max()) > 0.1
+    cave = T.generate_cave(rng)
+    frac = float((np.asarray(cave.hf) > 0).mean())
+    assert 0.05 < frac < 0.7
+
+    model = humanoid_spec().build()
+    state = engine.create_state(
+        model, root_pos=jnp.asarray([[0.0, 0.0, 1.0]]),
+        root_rot=jnp.asarray([[0.0, 0, 0, 1.0]]),
+        joint_rot=jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]),
+                           (1, model.num_bodies - 1, 1)))
+    for mode in ("torque", "vel", "pd_exp", "pd_implicit"):
+        p = engine.SimParams(control_mode=mode)
+        tau, dex = engine.compute_joint_torques(
+            model, p, state, jnp.full((1, model.dof_size), 0.1), 1 / 120)
+        assert np.all(np.isfinite(np.asarray(tau))), mode
+    # torque mode scales action by motor effort and clamps
+    p = engine.SimParams(control_mode="torque")
+    tau, _ = engine.compute_joint_torques(
+        model, p, state, jnp.full((1, model.dof_size), 10.0), 1 / 120)
+    assert np.allclose(np.asarray(tau)[0],
+                       np.asarray(model.dof_motor_effort)
+                       * p.torque_limit_scale)
+
+
+def test_categorical_distribution():
+    import jax
+    import jax.numpy as jnp
+    from parc_tpu.learning import distributions as D
+    logits = jnp.asarray([[2.0, 0.0, -2.0], [0.0, 0.0, 0.0]])
+    assert int(D.categorical_mode(logits)[0]) == 0
+    lp = D.categorical_log_prob(logits, jnp.asarray([0, 1]))
+    assert np.isclose(float(lp[1]), np.log(1 / 3), atol=1e-5)
+    ent = D.categorical_entropy(logits)
+    assert float(ent[1]) > float(ent[0])
+    kl = D.categorical_kl(logits, logits)
+    assert np.allclose(np.asarray(kl), 0.0, atol=1e-6)
+    s = D.categorical_sample(jax.random.PRNGKey(0), logits)
+    assert s.shape == (2,)
