@@ -348,3 +348,103 @@ def aba_soa(model: cm.CharModel, params, state, tau: jax.Array,
     root_acc_arr = jnp.stack([as_arr(c) for c in root_acc], axis=-1)
     qdd_arr = jnp.stack([as_arr(c) for c in qdd_c], axis=-1)
     return root_acc_arr, qdd_arr
+
+
+# ---------------------------------------------------------------------------
+# SoA kinematics refresh + integration (same layout rationale as aba_soa)
+# ---------------------------------------------------------------------------
+
+
+def _quat_mul_cols(a, b) -> list:
+    """[x,y,z,w] column quaternion product a*b."""
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return [aw * bx + ax * bw + ay * bz - az * by,
+            aw * by + ay * bw + az * bx - ax * bz,
+            aw * bz + az * bw + ax * by - ay * bx,
+            aw * bw - ax * bx - ay * by - az * bz]
+
+
+def _quat_rotate_cols(q, v) -> list:
+    """Rotate column 3-vector v by column quaternion q."""
+    qv = q[0:3]
+    t = _cross3(qv, v)
+    t = [2.0 * x for x in t]
+    return _add(_add(v, [q[3] * x for x in t]), _cross3(qv, t))
+
+
+def _exp_map_to_quat_cols(e) -> list:
+    angle2 = e[0] * e[0] + e[1] * e[1] + e[2] * e[2]
+    angle = jnp.sqrt(angle2 + 1e-24)
+    half = 0.5 * angle
+    s = jnp.sin(half) / angle
+    return [e[0] * s, e[1] * s, e[2] * s, jnp.cos(half)]
+
+
+def _quat_normalize_cols(q) -> list:
+    n = jnp.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3]
+                 + 1e-24)
+    inv = 1.0 / n
+    return [q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv]
+
+
+def refresh_kinematics_soa(model: cm.CharModel, state):
+    """FK + world body velocities in column form (replaces
+    engine.refresh_kinematics's batch-major per-joint quat loops)."""
+    nb = model.num_bodies
+    root_pos = _cols(state.root_pos, 3)
+    root_rot = _cols(state.root_rot, 4)
+    dv = _cols(state.dof_vel, model.dof_size)
+
+    # joint world angular rates: w_world[j] = R_body[j] @ (dof_map[j] @ qd)
+    pos = [root_pos]
+    quat = [root_rot]
+    ang = [_cols(state.root_ang_vel, 3)]
+    lin = [_cols(state.root_vel, 3)]
+    dof_map = np.asarray(model.dof_map)  # (J-1, 3, D) static
+
+    for j in range(1, nb):
+        parent = model.parent_indices[j]
+        lt = [float(x) for x in np.asarray(model.local_translation[j])]
+        lr = [float(x) for x in np.asarray(model.local_rotation[j])]
+        jq = _cols(state.joint_rot[..., j - 1, :], 4)
+        # world rotation/translation
+        cur = _quat_mul_cols(lr, jq)
+        q_w = _quat_mul_cols(quat[parent], cur)  # no normalize: parity
+        # with cm.forward_kinematics (joint_rot is normalized upstream)
+        t_w = _quat_rotate_cols(quat[parent], lt)
+        p_w = _add(pos[parent], t_w)
+        pos.append(p_w)
+        quat.append(q_w)
+        # velocities
+        w_local = [None] * 3
+        for k in range(3):
+            acc = None
+            for d in range(model.dof_size):
+                c = float(dof_map[j - 1, k, d])
+                if c == 0.0:
+                    continue
+                term = dv[d] * c if c != 1.0 else dv[d]
+                acc = term if acc is None else acc + term
+            w_local[k] = 0.0 if acc is None else acc
+        w_world = _quat_rotate_cols(q_w, w_local)
+        w = _add(ang[parent], w_world)
+        r = _sub(p_w, pos[parent])
+        v = _add(lin[parent], _cross3(ang[parent], r))
+        ang.append(w)
+        lin.append(v)
+
+    batch = state.root_pos.shape[:-1]
+    dtype = state.root_pos.dtype
+
+    def stack(cols_list, k):
+        rows = []
+        for cols in cols_list:
+            rows.append(jnp.stack(
+                [jnp.broadcast_to(jnp.asarray(c, dtype), batch)
+                 for c in cols], axis=-1))
+        return jnp.stack(rows, axis=-2)
+
+    return state.replace(
+        body_pos=stack(pos, 3), body_rot=stack(quat, 4),
+        body_vel=stack(lin, 3), body_ang_vel=stack(ang, 3))

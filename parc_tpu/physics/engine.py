@@ -106,6 +106,11 @@ def create_state(model: cm.CharModel, root_pos, root_rot, joint_rot,
 
 
 def refresh_kinematics(model: cm.CharModel, state: SimState) -> SimState:
+    if jax.default_backend() != "cpu":
+        # SoA column form: batch-major (N, 4) quat chains waste TPU lane
+        # tiles the same way the (N, 6, 6) ABA did
+        from parc_tpu.physics.aba_soa import refresh_kinematics_soa
+        return refresh_kinematics_soa(model, state)
     body_pos, body_rot = cm.forward_kinematics(
         model, state.root_pos, state.root_rot, state.joint_rot)
     body_vel, body_ang_vel = cm.body_vel_from_dof_vel(

@@ -202,3 +202,30 @@ def test_aba_soa_matches_reference_eager():
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_refresh_kinematics_soa_matches():
+    """SoA kinematics refresh parity vs the batch-major FK (eager)."""
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.physics.aba_soa import refresh_kinematics_soa
+    from parc_tpu.utils import rotation as rot
+
+    model = humanoid_spec().build()
+    rng = np.random.default_rng(2)
+    n = 8
+    st = engine.create_state(
+        model,
+        root_pos=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        root_rot=rot.quat_normalize(
+            jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)),
+        joint_rot=rot.quat_normalize(jnp.asarray(
+            rng.normal(size=(n, model.num_bodies - 1, 4)), jnp.float32)),
+        root_vel=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        root_ang_vel=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        dof_vel=jnp.asarray(rng.normal(size=(n, model.dof_size)),
+                            jnp.float32))
+    s2 = refresh_kinematics_soa(model, st)
+    for f in ("body_pos", "body_rot", "body_vel", "body_ang_vel"):
+        np.testing.assert_allclose(np.asarray(getattr(st, f)),
+                                   np.asarray(getattr(s2, f)),
+                                   rtol=1e-4, atol=1e-5)
