@@ -17,12 +17,22 @@ from typing import Optional
 class Logger:
     def __init__(self, output_file: Optional[str] = None,
                  use_wandb: bool = False, project: str = "parc_tpu",
-                 run_name: Optional[str] = None):
+                 run_name: Optional[str] = None,
+                 tensorboard_dir: Optional[str] = None,
+                 step_key: str = "Samples"):
         self._row = OrderedDict()
         self._quiet = set()
         self._output_file = output_file
         self._wrote_header = False
         self._wandb = None
+        self._step_key = step_key  # reference: wandb_logger step key
+        self._tb = None
+        if tensorboard_dir:
+            try:  # torch SummaryWriter (tensorboardX equivalent)
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception:
+                self._tb = None
         if use_wandb:
             try:
                 import wandb
@@ -72,4 +82,12 @@ class Logger:
     def end_iter(self):
         self.print_log()
         self.write_log()
+        if self._tb is not None:
+            step = int(self._row.get(self._step_key, 0))
+            for k, v in self._row.items():
+                if k != self._step_key:
+                    self._tb.add_scalar(k, v, step)
+            self._tb.flush()
+        if self._wandb is not None:
+            self._wandb.log(dict(self._row))
         self._row.clear()

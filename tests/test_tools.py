@@ -368,3 +368,43 @@ def test_categorical_distribution():
     assert np.allclose(np.asarray(kl), 0.0, atol=1e-6)
     s = D.categorical_sample(jax.random.PRNGKey(0), logits)
     assert s.shape == (2,)
+
+
+def test_obb_intersection_and_char_points():
+    """OBB SAT test + dense char surface sampling
+    (reference: util/geom_util.py:333-565, :788-931)."""
+    import jax.numpy as jnp
+    from parc_tpu.utils import geom
+    from parc_tpu.utils import rotation as rot
+    from parc_tpu.data.humanoid import humanoid_spec
+
+    ident = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    dims = jnp.asarray([0.5, 0.5, 0.5])
+    # overlapping
+    hit = geom.obb_obb_intersect(jnp.zeros(3), dims, ident,
+                                 jnp.asarray([0.7, 0.0, 0.0]), dims, ident)
+    assert bool(hit)
+    # separated along x
+    miss = geom.obb_obb_intersect(jnp.zeros(3), dims, ident,
+                                  jnp.asarray([1.1, 0.0, 0.0]), dims, ident)
+    assert not bool(miss)
+    # rotated 45deg about z: diagonal reach sqrt(2)*0.5 + 0.5 ~ 1.207
+    q45 = rot.exp_map_to_quat(jnp.asarray([0.0, 0.0, np.pi / 4]))
+    hit45 = geom.obb_obb_intersect(jnp.zeros(3), dims, ident,
+                                   jnp.asarray([1.15, 0.0, 0.0]), dims, q45)
+    assert bool(hit45)
+    miss45 = geom.obb_obb_intersect(jnp.zeros(3), dims, ident,
+                                    jnp.asarray([1.3, 0.0, 0.0]), dims, q45)
+    assert not bool(miss45)
+
+    # point-OBB sdf: center is most inside
+    pts = jnp.asarray([[[0.0, 0, 0], [0.5, 0, 0], [1.0, 0, 0]]])
+    sdf = geom.points_obb_sdf(pts, jnp.zeros((1, 3)), dims[None], ident[None])
+    assert float(sdf[0, 0]) < 0 < float(sdf[0, 2])
+    assert abs(float(sdf[0, 1])) < 1e-6
+
+    # char surface points cover every body with >= contact-point density
+    spec = humanoid_spec()
+    body_idx, offsets = geom.char_surface_points(spec)
+    assert offsets.shape[0] == body_idx.shape[0] > 100
+    assert set(body_idx.tolist()) == set(range(len(spec.bodies)))
