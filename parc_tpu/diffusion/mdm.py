@@ -54,6 +54,8 @@ class MDMConfig:
     target_dropout: float = 0.025
     prev_state_dropout: float = 0.1
     prev_state_noise_chance: float = 0.5
+    # OOD condition resampling (reference: mdm.py:903-940 _ood_chance)
+    ood_chance: float = 0.1
 
     # loss weights (reference: train_gen_default.yaml w_*)
     w_simple_root_pos: float = 1.0
@@ -131,7 +133,9 @@ class MDM:
     # ------------------------------------------------------------------
     def _geometric_losses(self, state: MDMState, pred_std, gt_std,
                           batch: sampler_lib.WindowBatch):
-        """All losses in unstandardized (canonical) space."""
+        """All losses in unstandardized (canonical) space, **per sample**
+        (B,) so OOD rows can be masked (reference: mdm.py:617-754 returns
+        per-sample losses for the same reason, :936-940)."""
         cfg = self.cfg
         scfg = self.scfg
         pred = self._unstandardize_frames(state, pred_std)
@@ -139,26 +143,29 @@ class MDM:
         p = sampler_lib.split_features(self.model, pred)
         g = sampler_lib.split_features(self.model, gt)
 
+        def m(x):
+            return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
         losses = {}
-        losses["simple_root_pos"] = cfg.w_simple_root_pos * jnp.mean(
+        losses["simple_root_pos"] = cfg.w_simple_root_pos * m(
             (p["root_pos"] - g["root_pos"])**2)
-        losses["simple_root_rot"] = cfg.w_simple_root_rot * jnp.mean(
+        losses["simple_root_rot"] = cfg.w_simple_root_rot * m(
             (p["root_rot"] - g["root_rot"])**2)
-        losses["simple_joint_rot"] = cfg.w_simple_joint_rot * jnp.mean(
+        losses["simple_joint_rot"] = cfg.w_simple_joint_rot * m(
             (p["dof"] - g["dof"])**2)
-        losses["simple_body_pos"] = cfg.w_simple_body_pos * jnp.mean(
+        losses["simple_body_pos"] = cfg.w_simple_body_pos * m(
             (p["joint_pos"] - g["joint_pos"])**2)
-        losses["simple_contacts"] = cfg.w_simple_contacts * jnp.mean(
+        losses["simple_contacts"] = cfg.w_simple_contacts * m(
             (p["contacts"] - g["contacts"])**2)
 
         # velocity consistency across frames
         def vel(x):
             return x[:, 1:] - x[:, :-1]
-        losses["vel_root_pos"] = cfg.w_vel_root_pos * jnp.mean(
+        losses["vel_root_pos"] = cfg.w_vel_root_pos * m(
             (vel(p["root_pos"]) - vel(g["root_pos"]))**2)
-        losses["vel_root_rot"] = cfg.w_vel_root_rot * jnp.mean(
+        losses["vel_root_rot"] = cfg.w_vel_root_rot * m(
             (vel(p["root_rot"]) - vel(g["root_rot"]))**2)
-        losses["vel_joint_rot"] = cfg.w_vel_joint_rot * jnp.mean(
+        losses["vel_joint_rot"] = cfg.w_vel_joint_rot * m(
             (vel(p["dof"]) - vel(g["dof"]))**2)
 
         # FK consistency: body positions implied by predicted dofs must
@@ -171,7 +178,7 @@ class MDM:
         fk_flat = fk_joint_pos.reshape(fk_joint_pos.shape[:-2] + (-1,))
         losses["body_pos_consistency"] = (
             cfg.w_body_pos_consistency
-            * jnp.mean((fk_flat - p["joint_pos"])**2))
+            * m((fk_flat - p["joint_pos"])**2))
 
         # heightfield collision: predicted body points must stay above the
         # local hf (canonical coords; hf already relative to canon z)
@@ -184,7 +191,7 @@ class MDM:
         iy = jnp.clip(jnp.round(by).astype(jnp.int32), 0, scfg.hf_dim_y - 1)
         hf_at = batch.hf[jnp.arange(batch.hf.shape[0])[:, None, None], ix, iy]
         pen = jnp.maximum(hf_at - abs_body[..., 2] + 0.05, 0.0)
-        losses["hf_collision"] = cfg.w_hf * jnp.mean(pen**2)
+        losses["hf_collision"] = cfg.w_hf * m(pen**2)
 
         # target direction: net root xy displacement should follow target
         disp = p["root_pos"][:, -1, 0:2] - p["root_pos"][:, 0, 0:2]
@@ -192,8 +199,8 @@ class MDM:
         dir_pred = disp / jnp.maximum(norm, 1e-3)
         has_target = (jnp.linalg.norm(batch.target_dir, axis=-1) > 1e-6)
         cos = jnp.sum(dir_pred * batch.target_dir, axis=-1)
-        losses["target"] = cfg.w_target * jnp.mean(
-            jnp.where(has_target, 1.0 - cos, 0.0))
+        losses["target"] = cfg.w_target * jnp.where(has_target,
+                                                    1.0 - cos, 0.0)
         return losses
 
     # ------------------------------------------------------------------
@@ -225,8 +232,26 @@ class MDM:
                                                  t_prev, prev_noise)
         prev_in = jnp.where(noised_flag[:, None, None], prev_noisy, prev_std)
 
+        # OOD condition resampling (reference: mdm.py:903-940): some rows
+        # get a fresh synthetic heightfield and a randomly rotated target;
+        # their clean-signal matching losses are zeroed so only the
+        # hf-collision and target objectives train on them
+        hf = batch.hf
+        target_dir = batch.target_dir
+        ood = jnp.zeros((b,), bool)
+        if cfg.ood_chance > 0:
+            k7, k8, k9 = jax.random.split(k_cd, 3)
+            ood = jax.random.uniform(k7, (b,)) < cfg.ood_chance
+            center_z = hf[:, self.scfg.hf_num_x_neg, self.scfg.hf_num_y]
+            ood_hf = sampler_lib.generate_ood_hfs(self.scfg, k8, b, center_z)
+            hf = jnp.where(ood[:, None, None], ood_hf, hf)
+            ang = jax.random.uniform(k9, (b,)) * 2 * jnp.pi
+            rot_tgt = rot.rotate_2d_vec(batch.target_dir, ang)
+            target_dir = jnp.where(ood[:, None], rot_tgt, target_dir)
+            batch = batch.replace(hf=hf, target_dir=target_dir)
+
         pred = self.net.apply(
-            params, x_t, t, prev_in, batch.hf, batch.target_dir,
+            params, x_t, t, prev_in, hf, target_dir,
             hf_mask=hf_mask.astype(jnp.float32),
             target_mask=tgt_mask.astype(jnp.float32),
             prev_state_mask=prev_mask.astype(jnp.float32),
@@ -234,6 +259,11 @@ class MDM:
             deterministic=False, rngs={"dropout": k_drop})
 
         losses = self._geometric_losses(state, pred, gt_std, batch)
+        keep_on_ood = ("hf_collision", "target")
+        losses = {
+            k: jnp.mean(v if k in keep_on_ood
+                        else jnp.where(ood, 0.0, v))
+            for k, v in losses.items()}
         total = sum(losses.values())
         return total, losses
 

@@ -270,3 +270,34 @@ def compute_feature_stats(model: cm.CharModel, cfg: SamplerConfig,
     mean = jnp.mean(x, axis=0)
     std = jnp.maximum(jnp.std(x, axis=0), 1e-3)
     return mean, std  # (total_frames, frame_dim)
+
+
+def generate_ood_hfs(cfg: SamplerConfig, rng: jax.Array, batch: int,
+                     center_z: jax.Array) -> jax.Array:
+    """Synthetic out-of-distribution local heightfields: flat plane at the
+    character's floor height plus random boxes, with the center 5x5 cells
+    protected (reference: mdm_heightfield_contact_motion_sampler.py:490-524
+    generate_hfs)."""
+    hf = jnp.broadcast_to(center_z[:, None, None],
+                          (batch, cfg.hf_dim_x, cfg.hf_dim_y))
+    x_ids = jax.lax.broadcasted_iota(jnp.int32, hf.shape, 1)
+    y_ids = jax.lax.broadcasted_iota(jnp.int32, hf.shape, 2)
+    protected = ((jnp.abs(x_ids - cfg.hf_num_x_neg) <= 2)
+                 & (jnp.abs(y_ids - cfg.hf_num_y) <= 2))
+    for key in jax.random.split(rng, cfg.max_num_boxes):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        ij = jax.random.randint(k1, (batch, 2), 0,
+                                jnp.asarray(hf.shape[1:]))
+        wl = jax.random.randint(k2, (batch, 2), cfg.box_min_len,
+                                cfg.box_max_len + 1)
+        height = jax.random.uniform(k3, (batch,), minval=-cfg.max_h,
+                                    maxval=cfg.max_h)
+        active = jax.random.uniform(k4, (batch,)) < 0.75
+        inside = ((x_ids >= ij[:, 0, None, None])
+                  & (x_ids < (ij[:, 0] + wl[:, 0])[:, None, None])
+                  & (y_ids >= ij[:, 1, None, None])
+                  & (y_ids < (ij[:, 1] + wl[:, 1])[:, None, None])
+                  & ~protected)
+        hf = jnp.where(inside & active[:, None, None],
+                       center_z[:, None, None] + height[:, None, None], hf)
+    return jnp.clip(hf, -cfg.max_h, cfg.max_h)

@@ -38,6 +38,7 @@ class PPOConfig:
     update_epochs: int = 5
     batch_size: int = 4               # minibatch = batch_size * num_envs
     critic_loss_weight: float = 10.0
+    critic_loss_guard: float = 20.0  # actor grads cut above this
     action_bound_weight: float = 10.0
     action_entropy_weight: float = 0.0
     norm_adv_clip: float = 4.0
@@ -230,6 +231,12 @@ class PPOAgent:
         per_sample = jnp.minimum(surr0, surr1)
         mask_sum = jnp.maximum(jnp.sum(rand_mask), 1.0)
         actor_loss = -jnp.sum(per_sample * rand_mask) / mask_sum
+        # exploding-critic guard: when the critic can't be trusted, stop
+        # its advantages from driving the actor (reference:
+        # ppo_agent.py:225-238 detaches actor_loss at critic_loss > 20)
+        actor_loss = jnp.where(critic_loss > self.cfg.critic_loss_guard,
+                               jax.lax.stop_gradient(actor_loss),
+                               actor_loss)
 
         # action bound loss on the (normalized) mode
         viol_lo = jnp.minimum(mean - (-1.0), 0.0)

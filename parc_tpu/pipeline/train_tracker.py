@@ -109,10 +109,26 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
         if max_iters is not None and it >= max_iters:
             break
         t0 = time.time()
-        state, metrics = train_iter(lib, state)
+        new_state, metrics = train_iter(lib, state)
         jax.block_until_ready(metrics.mean_reward)
         iter_time = time.time() - t0
         it += 1
+
+        # NaN guard + debug dump (reference: ppo_agent.py:242-252 dumps the
+        # offending batch to output/debug_batch.pkl and exits)
+        critic_loss = float(metrics.critic_loss)
+        if not np.isfinite(critic_loss) or not np.isfinite(
+                float(metrics.mean_reward)):
+            import pickle
+            dump = f"{cfg.output_dir}/debug_state.pkl"
+            with open(dump, "wb") as f:
+                pickle.dump(jax.tree.map(np.asarray,
+                                         ppo_lib.persistent_state(state)), f)
+            raise FloatingPointError(
+                f"non-finite training metrics at iter {it} "
+                f"(critic_loss={critic_loss}); pre-update state dumped to "
+                f"{dump}")
+        state = new_state
 
         if it % cfg.iters_per_output == 0 or it == 1:
             test = test_fn(lib, state, jax.random.PRNGKey(seed + it))

@@ -186,3 +186,43 @@ def path_to_world(path: np.ndarray, min_point: np.ndarray,
     xy = min_point[:2] + path[:, 0:2].astype(np.float64) * dxdy[:2]
     z = hf[path[:, 0], path[:, 1]]
     return np.concatenate([xy, z[:, None]], axis=-1).astype(np.float32)
+
+
+def catmull_rom_path(nodes_xyz: np.ndarray,
+                     points_per_segment: int = 8) -> np.ndarray:
+    """Smooth a node path with centripetal Catmull-Rom splines
+    (reference: tools/procgen/astar.py:407-506)."""
+    pts = np.asarray(nodes_xyz, np.float64)
+    if len(pts) < 3:
+        return pts.astype(np.float32)
+    padded = np.concatenate([pts[:1], pts, pts[-1:]], axis=0)
+    out = []
+    for i in range(len(pts) - 1):
+        p0, p1, p2, p3 = padded[i:i + 4]
+
+        def tj(ti, pa, pb):
+            return ti + max(np.linalg.norm(pb - pa) ** 0.5, 1e-6)
+
+        t0 = 0.0
+        t1 = tj(t0, p0, p1)
+        t2 = tj(t1, p1, p2)
+        t3 = tj(t2, p2, p3)
+        ts = np.linspace(t1, t2, points_per_segment, endpoint=False)
+        for t in ts:
+            a1 = (t1 - t) / (t1 - t0) * p0 + (t - t0) / (t1 - t0) * p1
+            a2 = (t2 - t) / (t2 - t1) * p1 + (t - t1) / (t2 - t1) * p2
+            a3 = (t3 - t) / (t3 - t2) * p2 + (t - t2) / (t3 - t2) * p3
+            b1 = (t2 - t) / (t2 - t0) * a1 + (t - t0) / (t2 - t0) * a2
+            b2 = (t3 - t) / (t3 - t1) * a2 + (t - t1) / (t3 - t1) * a3
+            c = (t2 - t) / (t2 - t1) * b1 + (t - t1) / (t2 - t1) * b2
+            out.append(c)
+    out.append(pts[-1])
+    return np.asarray(out, np.float32)
+
+
+def straight_line_path(start_xyz, end_xyz, num_points: int = 16
+                       ) -> np.ndarray:
+    """Straight-line node path (reference alternative path generator)."""
+    t = np.linspace(0.0, 1.0, num_points)[:, None]
+    return ((1 - t) * np.asarray(start_xyz, np.float64)
+            + t * np.asarray(end_xyz, np.float64)).astype(np.float32)

@@ -408,3 +408,20 @@ def test_obb_intersection_and_char_points():
     body_idx, offsets = geom.char_surface_points(spec)
     assert offsets.shape[0] == body_idx.shape[0] > 100
     assert set(body_idx.tolist()) == set(range(len(spec.bodies)))
+
+
+def test_catmull_rom_and_straight_paths():
+    from parc_tpu.procgen import astar as A
+    nodes = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [2, 1, 0.5]],
+                       np.float64)
+    smooth = A.catmull_rom_path(nodes, points_per_segment=6)
+    # passes through endpoints, more points, finite
+    np.testing.assert_allclose(smooth[0], nodes[0], atol=1e-6)
+    np.testing.assert_allclose(smooth[-1], nodes[-1], atol=1e-6)
+    assert len(smooth) > len(nodes)
+    assert np.all(np.isfinite(smooth))
+    # interior curve stays near the control polygon
+    d = np.linalg.norm(smooth[:, None, :2] - nodes[None, :, :2], axis=-1)
+    assert d.min(axis=1).max() < 0.8
+    line = A.straight_line_path([0, 0, 0], [2, 0, 0], 5)
+    np.testing.assert_allclose(line[:, 0], [0, 0.5, 1.0, 1.5, 2.0])
