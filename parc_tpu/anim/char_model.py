@@ -558,3 +558,67 @@ def body_vel_from_dof_vel(model: CharModel, body_rot: jax.Array,
         ang.append(w)
         lin.append(v)
     return jnp.stack(lin, axis=-2), jnp.stack(ang, axis=-2)
+
+
+def export_mjcf(spec: CharModelSpec) -> str:
+    """Re-export a CharModelSpec as an MJCF document (reference:
+    anim/kin_char_model.py:756-931)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("mujoco", model=spec.name)
+    world = ET.SubElement(root, "worldbody")
+
+    def fmt(vals):
+        return " ".join(f"{float(v):.6g}" for v in vals)
+
+    elems = {}
+    for i, b in enumerate(spec.bodies):
+        parent_el = world if b.parent < 0 else elems[b.parent]
+        el = ET.SubElement(parent_el, "body", name=b.name, pos=fmt(b.pos))
+        q = b.quat
+        if abs(q[3] - 1.0) > 1e-9 or any(abs(x) > 1e-9 for x in q[:3]):
+            # MJCF quats are wxyz
+            el.set("quat", fmt([q[3], q[0], q[1], q[2]]))
+        elems[i] = el
+        j = b.joint
+        common = {}
+        if j.stiffness:
+            common["stiffness"] = f"{j.stiffness:.6g}"
+        if j.damping:
+            common["damping"] = f"{j.damping:.6g}"
+        if j.armature:
+            common["armature"] = f"{j.armature:.6g}"
+        if j.joint_type == "root":
+            ET.SubElement(el, "freejoint", name=j.name)
+        elif j.joint_type == "spherical":
+            # emit as 3 hinges (the source MJCF convention the parser
+            # merges back into one spherical joint)
+            import math as _math
+            axes = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+            for k, suffix in enumerate(("_x", "_y", "_z")):
+                jel = ET.SubElement(el, "joint", name=j.name + suffix,
+                                    type="hinge", axis=fmt(axes[k]),
+                                    **common)
+                if k < len(j.limits):
+                    jel.set("range", fmt([_math.degrees(v)
+                                          for v in j.limits[k]]))
+        elif j.joint_type == "hinge":
+            import math as _math
+            jel = ET.SubElement(el, "joint", name=j.name, type="hinge",
+                                axis=fmt(j.axis), **common)
+            if j.limits:
+                jel.set("range", fmt([_math.degrees(v)
+                                      for v in j.limits[0]]))
+        for g in b.geoms:
+            gel = ET.SubElement(el, "geom", type=g.kind)
+            if g.kind == "capsule":
+                gel.set("fromto", fmt(g.fromto))
+                gel.set("size", fmt(g.size[:1]))
+            else:
+                gel.set("pos", fmt(g.pos))
+                gel.set("size", fmt(g.size[:3] if g.kind == "box"
+                                    else g.size[:1]))
+            if g.density != 1000.0:
+                gel.set("density", f"{g.density:.6g}")
+    ET.indent(root)
+    return ET.tostring(root, encoding="unicode")

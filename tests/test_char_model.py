@@ -124,3 +124,26 @@ def test_mjcf_parse_matches_spec(reference_root, model):
                                np.asarray(model.dof_motor_effort), atol=1e-6)
     np.testing.assert_allclose(np.asarray(parsed.body_mass),
                                np.asarray(model.body_mass), rtol=1e-5)
+
+
+def test_mjcf_export_roundtrip():
+    """export_mjcf -> parse_mjcf must reproduce the model exactly
+    (reference: anim/kin_char_model.py:756-931 MJCF re-export)."""
+    import tempfile
+    from parc_tpu.data.humanoid import humanoid_spec
+
+    spec = humanoid_spec()
+    m1 = spec.build()
+    path = tempfile.mktemp(suffix=".xml")
+    with open(path, "w") as f:
+        f.write(cm.export_mjcf(spec))
+    m2 = cm.load_char_file(path)
+    assert m1.body_names == m2.body_names
+    assert m1.joint_types == m2.joint_types
+    assert m1.dof_size == m2.dof_size
+    for field in ("local_translation", "dof_limits_lower",
+                  "dof_limits_upper", "dof_stiffness", "dof_damping",
+                  "body_mass"):
+        np.testing.assert_allclose(np.asarray(getattr(m1, field)),
+                                   np.asarray(getattr(m2, field)),
+                                   rtol=1e-5, atol=1e-6, err_msg=field)
