@@ -48,6 +48,9 @@ class MDMConfig:
     d_hid: int = 1024
     num_layers: int = 6
     dropout: float = 0.1
+    # encoder matmuls in bf16 on TPU (params/losses stay f32); set False
+    # for bit-stable f32 end to end
+    bf16_compute: bool = True
 
     # condition dropout (classifier-free guidance training)
     hf_dropout: float = 0.1
@@ -93,11 +96,16 @@ class MDM:
         self.scfg = sampler_cfg
         self.frame_dim = sampler_cfg.frame_dim(model)
         self.rates = schedules.make_rates(cfg.diffusion_timesteps)
+        import jax.numpy as _jnp
+        compute_dtype = (_jnp.bfloat16
+                         if cfg.bf16_compute
+                         and jax.default_backend() != "cpu" else None)
         self.net = MDMTransformer(
             frame_dim=self.frame_dim, seq_len=sampler_cfg.seq_len,
             num_prev_states=sampler_cfg.num_prev_states,
             d_model=cfg.d_model, num_heads=cfg.num_heads, d_hid=cfg.d_hid,
-            num_layers=cfg.num_layers, dropout=cfg.dropout)
+            num_layers=cfg.num_layers, dropout=cfg.dropout,
+            compute_dtype=compute_dtype)
         tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
         self.tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
 

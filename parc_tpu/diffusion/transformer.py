@@ -52,19 +52,20 @@ class EncoderLayer(nn.Module):
     num_heads: int
     d_hid: int
     dropout: float = 0.1
+    dtype: object = None      # bf16 compute on TPU; params stay f32
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
+            num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.dropout)(
                 x, x, mask=mask, deterministic=deterministic)
-        x = nn.LayerNorm()(x + h)
-        h = nn.Dense(self.d_hid)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x + h)
+        h = nn.Dense(self.d_hid, dtype=self.dtype)(x)
         h = nn.gelu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(self.d_model)(h)
-        x = nn.LayerNorm()(x + h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+        x = nn.LayerNorm(dtype=self.dtype)(x + h)
         return x
 
 
@@ -81,6 +82,9 @@ class MDMTransformer(nn.Module):
     in_mlp_layers: Tuple[int, ...] = (1024,)
     out_mlp_layers: Tuple[int, ...] = (1024,)
     target_mlp_layers: Tuple[int, ...] = (512,)
+    # mixed precision: encoder matmuls in bf16, params/outputs f32
+    # (the MDM losses and diffusion math stay f32)
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x_t, t, prev_states, hf, target_dir,
@@ -142,11 +146,16 @@ class MDMTransformer(nn.Module):
         num_tokens = tokens.shape[1]
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (num_tokens, d))
+        if self.compute_dtype is not None:
+            tokens = tokens.astype(self.compute_dtype)
+            pos = pos.astype(self.compute_dtype)
         x = tokens + pos
 
         for _ in range(self.num_layers):
             x = EncoderLayer(self.d_model, self.num_heads, self.d_hid,
-                             self.dropout)(x, deterministic=deterministic)
+                             self.dropout, dtype=self.compute_dtype)(
+                x, deterministic=deterministic)
+        x = x.astype(jnp.float32)
 
         out = x[:, -self.seq_len:, :]
         return mlp(self.out_mlp_layers, self.frame_dim, out)
