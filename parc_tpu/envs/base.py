@@ -25,6 +25,15 @@ class DoneFlags:
     TIME = 3
 
 
+class EnvMode:
+    """Reference parity: envs/base_env.py EnvMode (train vs test drive the
+    reset distribution and exploration; record adds state capture)."""
+
+    TRAIN = 0
+    TEST = 1
+    RECORD = 2
+
+
 @dataclasses.dataclass(frozen=True)
 class EnvConfig:
     """Static env configuration (defaults follow the reference tracker env,
