@@ -105,3 +105,23 @@ def test_episode_timeout(model):
         state = step(state)
         dones.append(np.asarray(state.done))
     assert np.any(np.concatenate(dones) == DoneFlags.TIME)
+
+
+def test_env_builder():
+    """Env construction from config dicts (reference: envs/env_builder.py)."""
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.envs.builder import build_env
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    import pytest as _pytest
+
+    model = humanoid_spec().build()
+    env = build_env(model, {"num_envs": 4, "sim": {"control_mode": "pd_exp"}})
+    assert env.cfg.num_envs == 4
+    assert env.sim_params.control_mode == "pd_exp"
+    mdm = MDM(model, MDMConfig(diffusion_timesteps=11, d_model=32,
+                               num_heads=2, d_hid=32, num_layers=1))
+    env2 = build_env(model, {"env_name": "parkour", "num_envs": 4,
+                             "mgdm_num": 2, "terrain_dim": 24}, mdm=mdm)
+    assert env2.pcfg.mgdm_num == 2
+    with _pytest.raises(KeyError):
+        build_env(model, {"env_name": "nope"})
