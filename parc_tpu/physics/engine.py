@@ -58,6 +58,10 @@ class SimParams:
     contact_damping: float = 300.0
     friction: float = 1.0
     slip_vel: float = 0.1
+    # per-point normal-force cap: bounds the energy a deep penetration can
+    # inject (the penalty analogue of PhysX's max_depenetration_velocity,
+    # reference sim params: envs/ig_env.py:131-164)
+    max_contact_force: float = 3000.0
     # joint limits
     limit_stiffness: float = 200.0
     limit_damping: float = 5.0
@@ -193,7 +197,8 @@ def compute_contact_forces(model: cm.CharModel, params: SimParams,
     in_contact = phi < 0.0
     fn_mag = jnp.maximum(
         -params.contact_stiffness * phi - params.contact_damping * phi_dot, 0.0)
-    fn_mag = jnp.where(in_contact, fn_mag, 0.0)
+    fn_mag = jnp.where(in_contact,
+                       jnp.minimum(fn_mag, params.max_contact_force), 0.0)
 
     vt = v - n * phi_dot[..., None]
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + params.slip_vel**2 * 1e-4)

@@ -229,3 +229,40 @@ def test_refresh_kinematics_soa_matches():
         np.testing.assert_allclose(np.asarray(getattr(st, f)),
                                    np.asarray(getattr(s2, f)),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_quadruped_character(flat_terrain):
+    """Second character family: the engine is character-generic — a 12-DoF
+    quadruped stands under PD and collapses without actuation."""
+    from parc_tpu.data.quadruped import quadruped_spec, standing_pose_dof
+
+    quad = quadruped_spec().build()
+    assert quad.num_bodies == 13 and quad.dof_size == 12
+    dof = jnp.asarray(standing_pose_dof())
+    joint_rot = cm.dof_to_rot(quad, dof)
+    st0 = engine.create_state(
+        quad, root_pos=jnp.asarray([0.0, 0.0, 0.32]),
+        root_rot=jnp.asarray([0.0, 0, 0, 1.0]), joint_rot=joint_rot)
+    # contact params scaled to the ~11 kg robot (the defaults are tuned
+    # for the 45 kg humanoid); per-robot sim params are standard practice
+    params = engine.SimParams(contact_stiffness=2500.0,
+                              contact_damping=100.0,
+                              max_contact_force=400.0)
+    step = jax.jit(lambda s, tgt: engine.control_step(
+        quad, params, flat_terrain, s, tgt))
+    st = st0
+    for _ in range(30):
+        st = step(st, dof)
+    assert np.all(np.isfinite(np.asarray(st.root_pos)))
+    assert 0.2 < float(st.root_pos[2]) < 0.45  # standing
+
+    # passive (no stiffness) quadruped collapses
+    passive = quad.replace(
+        dof_stiffness=jnp.zeros_like(quad.dof_stiffness),
+        dof_damping=quad.dof_damping)
+    step_p = jax.jit(lambda s: engine.control_step(
+        passive, params, flat_terrain, s, dof))
+    st = st0
+    for _ in range(45):
+        st = step_p(st)
+    assert float(st.root_pos[2]) < 0.2  # collapsed
