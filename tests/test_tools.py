@@ -425,3 +425,33 @@ def test_catmull_rom_and_straight_paths():
     assert d.min(axis=1).max() < 0.8
     line = A.straight_line_path([0, 0, 0], [2, 0, 0], 5)
     np.testing.assert_allclose(line[:, 0], [0, 0.5, 1.0, 1.5, 2.0])
+
+
+def test_reference_terrain_pkl_ingestion():
+    """Load a real reference terrain .pkl (TEASER_TERRAIN) and plan on it
+    (parity proof: reference data files work end-to-end)."""
+    import pathlib
+    import pytest as _pytest
+    pkl = pathlib.Path("/root/reference/data/terrains/TEASER_TERRAIN.pkl")
+    if not pkl.exists():
+        _pytest.skip("reference data unavailable")
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.procgen import astar as A
+    t = md.load_reference_terrain_pkl(str(pkl))
+    hf = np.asarray(t.hf)
+    assert hf.shape == (102, 102)
+    assert hf.min() < -10 and hf.max() > 4  # the teaser pits and towers
+    # at least one random edge-to-edge pair must be plannable
+    paths = []
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        s, e = A.pick_start_end_on_edges(hf, rng)
+        p = A.run_a_star(hf, np.asarray(t.dxdy), s, e, rng=rng)
+        if p is not None:
+            paths.append(p)
+    assert paths, "no plannable pair on the teaser terrain"
+    p = paths[0]
+    assert p.shape[1] == 3 and len(p) > 5
+    world = A.path_to_world(p, np.asarray(t.min_point), np.asarray(t.dxdy),
+                            hf)
+    assert np.all(np.isfinite(world))
