@@ -302,9 +302,20 @@ class MDM:
     # ------------------------------------------------------------------
 
     def _denoise(self, params, state, x_t, t, prev_std, hf, target_dir,
-                 guidance_scale: float = 1.0, prev_noised=None):
+                 guidance_scale: float = 1.0, prev_noised=None,
+                 cond_cache=None):
         b = x_t.shape[0]
         ones = jnp.ones((b,))
+
+        if cond_cache is not None:
+            cond_toks, uncond_toks = cond_cache
+            cond = self.net.apply(params, x_t, t, cond_toks=cond_toks,
+                                  deterministic=True)
+            if guidance_scale == 1.0:
+                return cond
+            uncond = self.net.apply(params, x_t, t, cond_toks=uncond_toks,
+                                    deterministic=True)
+            return uncond + guidance_scale * (cond - uncond)
 
         def call(hf_m, tgt_m, prev_m):
             return self.net.apply(
@@ -317,6 +328,26 @@ class MDM:
             return cond
         uncond = call(ones, jnp.zeros((b,)), jnp.zeros((b,)))
         return uncond + guidance_scale * (cond - uncond)
+
+    def _encode_cond_cache(self, params, prev_std, hf, target_dir,
+                           guidance_scale: float, prev_noised=None):
+        """Precompute the timestep-independent condition tokens once per
+        sampling run (the reference's fast_forward cache,
+        diffusion/mdm_transformer.py fast_forward): the hf CNN, target
+        and prev-state tokens are reused by every denoise step instead
+        of being recomputed ~200x inside the scan."""
+        b = prev_std.shape[0]
+        ones = jnp.ones((b,))
+        zeros = jnp.zeros((b,))
+
+        def enc(tgt_m, prev_m):
+            return self.net.apply(
+                params, prev_std, hf, target_dir, ones, tgt_m, prev_m,
+                prev_noised, method="encode_conditions")
+
+        cond = enc(ones, ones)
+        uncond = enc(zeros, zeros) if guidance_scale != 1.0 else None
+        return cond, uncond
 
     def _post_x0(self, state, x0, hf, guidance, target_xy,
                  inpaint_frames, inpaint_mask):
@@ -367,17 +398,24 @@ class MDM:
         x = jax.random.normal(
             rng, (b, self.scfg.seq_len, self.frame_dim))
 
+        strong_hf = guidance is not None and guidance.strong_hf_guidance
+        # fast_forward condition cache: hoisted out of the scan (invalid
+        # under strong hf guidance, which re-tokenizes a changing hf)
+        cond_cache = None if strong_hf else self._encode_cond_cache(
+            params, prev_std, hf, target_dir, guidance_scale)
+
         def body(x, idx):
             t_cur = timesteps[idx]
             t_batch = jnp.full((b,), t_cur, jnp.int32)
-            if guidance is not None and guidance.strong_hf_guidance:
+            if strong_hf:
                 from parc_tpu.diffusion import guidance as guid_lib
                 x0, _ = guid_lib.hf_guidance_x0(
                     self, params, state, x, t_batch, prev_std, hf,
                     target_dir, target_xy, guidance)
             else:
                 x0 = self._denoise(params, state, x, t_batch, prev_std, hf,
-                                   target_dir, guidance_scale)
+                                   target_dir, guidance_scale,
+                                   cond_cache=cond_cache)
             x0 = self._post_x0(state, x0, hf, guidance, target_xy,
                                inpaint_frames, inpaint_mask)
             ac_t = schedules.gather(self.rates.alphas_cumprod, t_cur)
@@ -415,6 +453,8 @@ class MDM:
         k_init, k_loop = jax.random.split(rng)
         x = jax.random.normal(
             k_init, (b, self.scfg.seq_len, self.frame_dim))
+        cond_cache = self._encode_cond_cache(params, prev_std, hf,
+                                             target_dir, guidance_scale)
 
         def body(carry, t_rev):
             x, key = carry
@@ -422,7 +462,8 @@ class MDM:
             key, k_n = jax.random.split(key)
             t_batch = jnp.full((b,), t_cur, jnp.int32)
             x0 = self._denoise(params, state, x, t_batch, prev_std, hf,
-                               target_dir, guidance_scale)
+                               target_dir, guidance_scale,
+                               cond_cache=cond_cache)
             x0 = self._post_x0(state, x0, hf, guidance, target_xy,
                                inpaint_frames, inpaint_mask)
             mean = (schedules.gather(self.rates.posterior_mean_x0_coef,

@@ -263,6 +263,14 @@ def compute_joint_torques(model: cm.CharModel, params: SimParams,
         tau = kp * err - kd * state.dof_vel
         tau = jnp.clip(tau, -effort, effort)
         d_extra = jnp.zeros_like(tau)
+    elif params.control_mode == "pd_1d":
+        # per-dof linear PD (reference _calc_pd_1d_torque,
+        # envs/ig_char_env.py:412-421); only meaningful for 1D hinge
+        # characters (e.g. the quadruped) where dof space is linear
+        err_1d = pd_target_dof - dof_pos_from_state(model, state)
+        tau = kp * err_1d - kd * state.dof_vel
+        tau = jnp.clip(tau, -effort, effort)
+        d_extra = jnp.zeros_like(tau)
     else:  # pd_implicit (SPD)
         kd_eff = kd + dt * kp
         tau = kp * err - kd_eff * state.dof_vel

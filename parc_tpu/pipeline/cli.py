@@ -181,6 +181,26 @@ def stage_metrics(cfg: dict):
             print(f"{k}: {v:.4f}")
 
 
+def stage_augment(cfg: dict):
+    """Batch terrain-aware augmentation of an existing motion set
+    (reference: tools/motion_opt/augment_motions.py)."""
+    import glob
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.pipeline import augment
+    model = _build_model()
+    files = sorted(glob.glob(os.path.join(cfg["motions_dir"], "*.npz"))
+                   + glob.glob(os.path.join(cfg["motions_dir"], "*.pkl")))
+    motions = [md.load_motion_data(f) for f in files]
+    acfg = _dataclass_from_dict(augment.AugmentConfig, cfg)
+    if cfg.get("num_motions"):
+        acfg = dataclasses.replace(acfg,
+                                   num_new_motions=cfg["num_motions"])
+    paths = augment.run_augment(model, motions,
+                                cfg.get("out_dir", "output/augmented"),
+                                acfg, names=files, seed=cfg.get("seed", 0))
+    print(f"wrote {len(paths)} augmented clips")
+
+
 def stage_view(cfg: dict):
     """Export a standalone HTML viewer (and PNG strip) for a clip
     (reference: the MOTION_FORGE viewer app)."""
@@ -204,6 +224,7 @@ STAGES = {
     "record": stage_record,
     "setup_iter": stage_setup_iter,
     "metrics": stage_metrics,
+    "augment": stage_augment,
     "view": stage_view,
 }
 

@@ -18,6 +18,7 @@ import jax
 from parc_tpu.anim import motion_lib as ml
 from parc_tpu.diffusion.mdm import MDM, MDMState
 from parc_tpu.utils import checkpoint as ckpt_lib
+from parc_tpu.utils import profiling
 from parc_tpu.utils.logger import Logger
 
 
@@ -29,6 +30,10 @@ class MDMTrainerConfig:
     epochs_per_output: int = 10
     output_dir: str = "output/mdm"
     use_wandb: bool = False
+    # XLA profiler: capture epochs [profile_start, profile_start +
+    # profile_epochs) into <output_dir>/profile
+    profile_epochs: int = 0
+    profile_start: int = 2
 
 
 def train(mdm: MDM, lib: ml.MotionLib,
@@ -57,9 +62,15 @@ def train(mdm: MDM, lib: ml.MotionLib,
     t_start = time.time()
     epochs = cfg.epochs if max_epochs is None else max_epochs
     for epoch in range(epochs):
+        if cfg.profile_epochs and epoch == cfg.profile_start:
+            jax.profiler.start_trace(f"{cfg.output_dir}/profile")
         t0 = time.time()
         state, totals = epoch_jit(lib, state)
-        jax.block_until_ready(totals)
+        profiling.sync(totals)
+        if (cfg.profile_epochs
+                and epoch + 1 == cfg.profile_start + cfg.profile_epochs):
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {cfg.output_dir}/profile")
         if epoch % cfg.epochs_per_output == 0:
             logger.log("Epoch", epoch)
             logger.log("Step", int(state.step))

@@ -25,6 +25,7 @@ from parc_tpu.learning.networks import ActorCritic
 from parc_tpu.learning import ppo as ppo_lib
 from parc_tpu.learning.ppo import AgentState, PPOAgent
 from parc_tpu.utils import checkpoint as ckpt_lib
+from parc_tpu.utils import profiling
 from parc_tpu.utils.logger import Logger
 
 TRACKING_ERROR_NAMES = ("root_pos_err", "root_rot_err", "body_pos_err",
@@ -41,6 +42,10 @@ class TrainerConfig:
     test_steps: int = 300
     output_dir: str = "output/tracker"
     use_wandb: bool = False
+    # XLA profiler: capture iterations [profile_start, profile_start +
+    # profile_iters) into <output_dir>/profile (TensorBoard / Perfetto)
+    profile_iters: int = 0
+    profile_start: int = 10
 
 
 def make_test_fn(agent: PPOAgent, lib: ml.MotionLib, num_steps: int):
@@ -105,14 +110,22 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
 
     it = 0
     t_start = time.time()
+    timers = profiling.PhaseTimer()
     while float(state.sample_count) < cfg.max_samples:
         if max_iters is not None and it >= max_iters:
             break
+        if cfg.profile_iters and it == cfg.profile_start:
+            jax.profiler.start_trace(f"{cfg.output_dir}/profile")
         t0 = time.time()
-        new_state, metrics = train_iter(lib, state)
-        jax.block_until_ready(metrics.mean_reward)
+        with timers.phase("train_iter"):
+            new_state, metrics = train_iter(lib, state)
+            profiling.sync(metrics.mean_reward)
         iter_time = time.time() - t0
         it += 1
+        if (cfg.profile_iters
+                and it == cfg.profile_start + cfg.profile_iters):
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {cfg.output_dir}/profile")
 
         # NaN guard + debug dump (reference: ppo_agent.py:242-252 dumps the
         # offending batch to output/debug_batch.pkl and exits)
@@ -131,7 +144,9 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
         state = new_state
 
         if it % cfg.iters_per_output == 0 or it == 1:
-            test = test_fn(lib, state, jax.random.PRNGKey(seed + it))
+            with timers.phase("test"):
+                test = test_fn(lib, state, jax.random.PRNGKey(seed + it))
+                profiling.sync(test["mean_reward"])
             logger.log("Iteration", it)
             logger.log("Samples", float(state.sample_count))
             logger.log("Wall_Time", (time.time() - t_start) / 3600.0)
@@ -163,4 +178,6 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
     if it % cfg.iters_per_checkpoint != 0:
         ckpt_lib.save(f"{cfg.output_dir}/checkpoints", it,
                           ppo_lib.persistent_state(state))
+    if timers.summary():
+        print("phase timers:\n" + timers.report())
     return state

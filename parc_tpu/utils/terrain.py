@@ -384,6 +384,33 @@ def add_boxes(rng: np.random.Generator, hf: np.ndarray, num_boxes: int = 32,
     return hf
 
 
+def add_boxes_at_points(rng: np.random.Generator, hf: np.ndarray,
+                        centers_ij: np.ndarray,
+                        min_h: float = 0.1, max_h: float = 0.6,
+                        min_len: float = 2.0, max_len: float = 6.0,
+                        min_angle: float = 0.0,
+                        max_angle: float = np.pi) -> np.ndarray:
+    """Stamp randomly-rotated boxes centered at given grid points
+    (grid units).  Used by terrain augmentation to place obstacles along
+    a motion's path (reference:
+    util/terrain_util.py:930-969 add_boxes_to_hf_at_xy_points)."""
+    hf = hf.copy()
+    gx, gy = np.meshgrid(np.arange(hf.shape[0], dtype=np.float32),
+                         np.arange(hf.shape[1], dtype=np.float32),
+                         indexing="ij")
+    xy = np.stack([gx, gy], axis=-1)
+    for c in np.asarray(centers_ij, np.float32).reshape(-1, 2):
+        blen = rng.uniform(min_len, max_len, size=2)
+        ang = rng.uniform(min_angle, max_angle)
+        rel = xy - c
+        ca, sa = np.cos(ang), np.sin(ang)
+        rx = ca * rel[..., 0] - sa * rel[..., 1]
+        ry = sa * rel[..., 0] + ca * rel[..., 1]
+        in_box = ((np.abs(rx) < blen[0] / 2) & (np.abs(ry) < blen[1] / 2))
+        hf = np.where(in_box, np.float32(rng.uniform(min_h, max_h)), hf)
+    return hf
+
+
 def add_stairs(rng: np.random.Generator, hf: np.ndarray,
                min_start_height: float = -3.0, max_start_height: float = 1.0,
                min_step: float = 0.1, max_step: float = 0.4,

@@ -165,3 +165,43 @@ def test_mdm_validation_harness(dataset_yaml, model, tmp_path):
     assert rows2[0]["mean_jerk"] == rows[0]["mean_jerk"]
     import os
     assert len(os.listdir(tmp_path / "val")) == 2
+
+
+def test_astar_mdm_replan(dataset_yaml, model, tmp_path):
+    """Online A*+MDM replanning from the current pose (reference:
+    dm_env.py:915-1030 astar_mdm): slice -> plan -> generate -> fresh
+    single-clip MotionLib."""
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.pipeline import dataset
+    from parc_tpu.procgen import astar_mdm, mdm_path
+
+    lib = dataset.load_dataset(model, dataset_yaml)
+    mdm = MDM(model, MDMConfig(diffusion_timesteps=11, d_model=32,
+                               num_heads=2, d_hid=32, num_layers=1))
+    state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=64)
+
+    dim = 40
+    terrain = md.HostTerrain(
+        hf=np.zeros((dim, dim), np.float32),
+        min_point=np.asarray([-8.0, -8.0], np.float32),
+        dxdy=np.asarray([0.4, 0.4], np.float32))
+    prev = np.zeros((2, 34), np.float32)
+    prev[:, 2] = 0.94
+    prev_c = np.zeros((2, model.num_bodies), np.float32)
+    prev_c[:, [11, 14]] = 1.0
+
+    cfg = astar_mdm.AStarMDMSettings(
+        path=mdm_path.PathGenSettings(batch_size=2, max_seconds=1.0),
+        save_path=str(tmp_path / "astar_mdm.npz"))
+    out = astar_mdm.astar_mdm_replan(
+        mdm, state, terrain, prev, prev_c,
+        np.asarray([4.0, 4.0], np.float32), jax.random.PRNGKey(0), cfg)
+    assert out is not None
+    clip, new_lib = out
+    assert clip.frames.shape[-1] == 34
+    assert np.all(np.isfinite(clip.frames))
+    assert new_lib.num_motions == 1
+    assert (tmp_path / "astar_mdm.npz").exists()
+    reloaded = md.load_motion_data(str(tmp_path / "astar_mdm.npz"))
+    assert reloaded.frames.shape == clip.frames.shape

@@ -340,11 +340,26 @@ def test_procgen_courses_and_control_modes():
         root_rot=jnp.asarray([[0.0, 0, 0, 1.0]]),
         joint_rot=jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]),
                            (1, model.num_bodies - 1, 1)))
-    for mode in ("torque", "vel", "pd_exp", "pd_implicit"):
+    for mode in ("torque", "vel", "pd_exp", "pd_1d", "pd_implicit"):
         p = engine.SimParams(control_mode=mode)
         tau, dex = engine.compute_joint_torques(
             model, p, state, jnp.full((1, model.dof_size), 0.1), 1 / 120)
         assert np.all(np.isfinite(np.asarray(tau))), mode
+    # on an all-hinge character, linear dof error == exp-map error, so
+    # pd_1d and pd_exp produce identical torques
+    from parc_tpu.data.quadruped import quadruped_spec
+    quad = quadruped_spec().build()
+    qstate = engine.create_state(
+        quad, root_pos=jnp.asarray([[0.0, 0.0, 0.5]]),
+        root_rot=jnp.asarray([[0.0, 0, 0, 1.0]]),
+        joint_rot=jnp.tile(jnp.asarray([0.0, 0, 0, 1.0]),
+                           (1, quad.num_bodies - 1, 1)))
+    tgt = jnp.full((1, quad.dof_size), 0.3)
+    tau_1d, _ = engine.compute_joint_torques(
+        quad, engine.SimParams(control_mode="pd_1d"), qstate, tgt, 1 / 120)
+    tau_exp, _ = engine.compute_joint_torques(
+        quad, engine.SimParams(control_mode="pd_exp"), qstate, tgt, 1 / 120)
+    assert np.allclose(np.asarray(tau_1d), np.asarray(tau_exp), atol=1e-4)
     # torque mode scales action by motor effort and clamps
     p = engine.SimParams(control_mode="torque")
     tau, _ = engine.compute_joint_torques(
@@ -455,3 +470,47 @@ def test_reference_terrain_pkl_ingestion():
     world = A.path_to_world(p, np.asarray(t.min_point), np.asarray(t.dxdy),
                             hf)
     assert np.all(np.isfinite(world))
+
+
+def test_augment_stage(tmp_path):
+    """Batch terrain-aware augmentation (reference: augment_motions.py):
+    heading rotation + stretch + terrain aug + contact opt, saved clips."""
+    import dataclasses
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import walking_clip
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.opt import motion_opt
+    from parc_tpu.pipeline import augment
+
+    model = humanoid_spec().build()
+    clip = walking_clip(n=40, seed=0)
+    cfg = augment.AugmentConfig(
+        num_new_motions=2, terrain_aug="boxes_along_path",
+        min_heading_angle=-30.0, max_heading_angle=30.0,
+        opt_cfg=motion_opt.MotionOptConfig(iters=10))
+    paths = augment.run_augment(model, [clip], str(tmp_path), cfg,
+                                names=["walk.npz"], seed=0)
+    assert len(paths) == 2
+    for p in paths:
+        out = md.load_motion_data(p)
+        assert out.frames.shape[1] == 34
+        assert out.terrain is not None
+        assert np.all(np.isfinite(out.frames))
+    # boxes_along_path must have changed the terrain heights somewhere
+    out = md.load_motion_data(paths[0])
+    assert np.abs(out.terrain.hf).max() > 0.0
+
+    # height_scale rescales the whole heightfield outside the bad range
+    base = np.asarray(clip.terrain.hf) + 1.0
+    clip2 = dataclasses.replace(
+        clip, terrain=dataclasses.replace(clip.terrain,
+                                          hf=base.astype(np.float32)))
+    cfg2 = augment.AugmentConfig(
+        num_new_motions=1, terrain_aug="height_scale",
+        min_h_scale=0.5, max_h_scale=0.7, bad_h_range=(0.99, 1.01),
+        opt_cfg=motion_opt.MotionOptConfig(iters=5))
+    (p2,) = augment.run_augment(model, [clip2], str(tmp_path / "hs"), cfg2,
+                                seed=1)
+    out2 = md.load_motion_data(p2)
+    ratio = out2.terrain.hf / base
+    assert 0.45 < float(ratio.mean()) < 0.75
