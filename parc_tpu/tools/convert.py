@@ -116,6 +116,38 @@ def motion_to_bvh(model: cm.CharModel, motion: md.MotionData,
         f.write("\n".join(lines) + "\n")
 
 
+def motion_to_keypoints(model: cm.CharModel, motion: md.MotionData,
+                        out_path: str) -> dict:
+    """Export SMPL-named body keypoint trajectories for retargeting
+    (reference: convert_parc_to_pyroki.py — SMPL-joint positions fed to
+    the pyroki retargeter; here the consumer is
+    parc_tpu.retarget.keypoint_ik.retarget_keypoints)."""
+    import jax.numpy as jnp
+    from parc_tpu.utils import rotation as rot
+    from parc_tpu.retarget.keypoint_ik import (DEFAULT_SMPL_TO_HUMANOID,
+                                               SMPL_JOINT_NAMES)
+
+    frames = np.asarray(motion.frames)
+    body_pos, _ = cm.forward_kinematics(
+        model, jnp.asarray(frames[:, 0:3]),
+        rot.exp_map_to_quat(jnp.asarray(frames[:, 3:6])),
+        cm.dof_to_rot(model, jnp.asarray(frames[:, 6:])))
+    body_pos = np.asarray(body_pos)  # (T, B, 3)
+
+    body_to_smpl = {b: s for s, b in DEFAULT_SMPL_TO_HUMANOID.items()}
+    names, kp = [], []
+    for j, body in enumerate(model.body_names):
+        smpl = body_to_smpl.get(body)
+        if smpl is not None:
+            names.append(smpl)
+            kp.append(body_pos[:, j])
+    kp = np.stack(kp, axis=1).astype(np.float32)  # (T, K, 3)
+    np.savez(out_path, keypoints=kp, names=np.asarray(names),
+             fps=np.float32(motion.fps),
+             smpl_joint_names=np.asarray(SMPL_JOINT_NAMES))
+    return {"keypoints": kp, "names": names}
+
+
 def inspect_motion(path: str, file=sys.stdout) -> dict:
     """Print clip metadata (reference: inspect_pkl.py)."""
     motion = md.load_motion_data(path)
@@ -140,12 +172,18 @@ def inspect_motion(path: str, file=sys.stdout) -> dict:
 
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(prog="parc_tpu.tools.convert")
-    p.add_argument("command", choices=["bvh", "inspect"])
+    p.add_argument("command", choices=["bvh", "keypoints", "inspect"])
     p.add_argument("input")
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
     if args.command == "inspect":
         inspect_motion(args.input)
+    elif args.command == "keypoints":
+        from parc_tpu.data.humanoid import humanoid_spec
+        model = humanoid_spec().build()
+        out = args.output or args.input.rsplit(".", 1)[0] + "_keypoints.npz"
+        motion_to_keypoints(model, md.load_motion_data(args.input), out)
+        print(f"wrote {out}")
     else:
         from parc_tpu.data.humanoid import humanoid_spec
         model = humanoid_spec().build()

@@ -514,3 +514,22 @@ def test_augment_stage(tmp_path):
     out2 = md.load_motion_data(p2)
     ratio = out2.terrain.hf / base
     assert 0.45 < float(ratio.mean()) < 0.75
+
+
+def test_keypoint_export_roundtrip(tmp_path, model):
+    """SMPL-keypoint export (reference: convert_parc_to_pyroki.py) feeds
+    straight back into the keypoint retargeter."""
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.tools import convert
+    clip = walking_clip(n=8, seed=0)
+    out = str(tmp_path / "kp.npz")
+    res = convert.motion_to_keypoints(model, clip, out)
+    z = np.load(out, allow_pickle=False)
+    kp = z["keypoints"]
+    assert kp.shape[0] == 8 and kp.shape[2] == 3
+    assert len(z["names"]) == kp.shape[1] >= 10
+    assert "pelvis" in list(z["names"])
+    assert np.all(np.isfinite(kp))
+    # pelvis keypoint tracks the root trajectory
+    pel = kp[:, list(z["names"]).index("pelvis")]
+    np.testing.assert_allclose(pel, clip.frames[:, 0:3], atol=1e-5)
