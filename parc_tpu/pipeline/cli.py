@@ -209,8 +209,16 @@ def stage_view(cfg: dict):
     model = _build_model()
     motion = md.load_motion_data(cfg["input"])
     out = cfg.get("out") or cfg["input"].rsplit(".", 1)[0] + ".html"
-    html_viewer.export(model, motion, out,
-                       title=os.path.basename(cfg["input"]))
+    if cfg.get("compare"):
+        other = md.load_motion_data(cfg["compare"])
+        html_viewer.export_compare(
+            model, [motion, other], out,
+            labels=[os.path.basename(cfg["input"]),
+                    os.path.basename(cfg["compare"])],
+            title=os.path.basename(cfg["input"]))
+    else:
+        html_viewer.export(model, motion, out,
+                           title=os.path.basename(cfg["input"]))
     render.render_motion_strip(model, motion,
                                out.rsplit(".", 1)[0] + ".png")
     print(f"wrote {out} (+ .png strip)")
@@ -234,6 +242,7 @@ def main(argv=None):
     p.add_argument("stage", choices=sorted(STAGES))
     p.add_argument("--config", default=None)
     p.add_argument("--input", default=None)
+    p.add_argument("--compare", default=None)
     p.add_argument("--dataset", default=None)
     p.add_argument("--motions_dir", default=None)
     p.add_argument("--out", default=None)

@@ -15,7 +15,7 @@ Usage:
 from __future__ import annotations
 
 import json
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -45,7 +45,8 @@ const DATA = __DATA__;
 const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 let W, H; function resize(){ W=cv.width=innerWidth; H=cv.height=innerHeight; }
 resize(); addEventListener('resize', resize);
-const T = DATA.body_pos.length, NB = DATA.body_pos[0].length;
+const T = Math.max(...DATA.clips.map(c=>c.body_pos.length)),
+      NB = DATA.clips[0].body_pos[0].length;
 const hf = DATA.terrain ? DATA.terrain.hf : null;
 let yaw = 0.8, pitch = 0.5, dist = 9, target = DATA.center.slice();
 let frame = 0, playing = true;
@@ -102,26 +103,32 @@ function render() {
                                           :ctx.moveTo(p[0],p[1]));
       ctx.stroke(); ctx.lineWidth=1; }});
   }
-  const bp = DATA.body_pos[frame];
-  const contacts = DATA.contacts ? DATA.contacts[frame] : null;
-  for (let j=1;j<NB;j++) {
-    const a=proj(bp[DATA.parents[j]]), b=proj(bp[j]);
-    if (!a||!b) continue;
-    items.push({z:Math.min(a[2],b[2])-0.02, draw(){
-      ctx.beginPath(); ctx.moveTo(a[0],a[1]); ctx.lineTo(b[0],b[1]);
-      ctx.strokeStyle='#7ee787'; ctx.lineWidth=3; ctx.stroke();
-      ctx.lineWidth=1; }});
-  }
-  for (let j=0;j<NB;j++) {
-    const p=proj(bp[j]); if (!p) continue;
-    const hot = contacts && contacts[j] > 0.5;
-    items.push({z:p[2]-0.03, draw(){ ctx.beginPath();
-      ctx.arc(p[0],p[1],hot?6:4,0,7);
-      ctx.fillStyle=hot?'#ff5f56':'#e3e3e3'; ctx.fill(); }});
+  for (const clip of DATA.clips) {
+    const f = Math.min(frame, clip.body_pos.length-1);   // CLAMP playback
+    const bp = clip.body_pos[f];
+    const contacts = clip.contacts ? clip.contacts[f] : null;
+    for (let j=1;j<NB;j++) {
+      const a=proj(bp[DATA.parents[j]]), b=proj(bp[j]);
+      if (!a||!b) continue;
+      items.push({z:Math.min(a[2],b[2])-0.02, draw(){
+        ctx.beginPath(); ctx.moveTo(a[0],a[1]); ctx.lineTo(b[0],b[1]);
+        ctx.strokeStyle=clip.color; ctx.lineWidth=3; ctx.stroke();
+        ctx.lineWidth=1; }});
+    }
+    for (let j=0;j<NB;j++) {
+      const p=proj(bp[j]); if (!p) continue;
+      const hot = contacts && contacts[j] > 0.5;
+      items.push({z:p[2]-0.03, draw(){ ctx.beginPath();
+        ctx.arc(p[0],p[1],hot?6:4,0,7);
+        ctx.fillStyle=hot?'#ff5f56':'#e3e3e3'; ctx.fill(); }});
+    }
   }
   items.sort((a,b)=>b.z-a.z).forEach(it=>it.draw());
+  const legend = DATA.clips.length > 1
+    ? '  |  ' + DATA.clips.map(c=>c.label+' ('+c.color+')').join('  ') : '';
   document.getElementById('hud').textContent =
-    `${DATA.title} — frame ${frame+1}/${T} (drag to orbit, wheel to zoom)`;
+    `${DATA.title} — frame ${frame+1}/${T}` + legend +
+    ` (drag to orbit, wheel to zoom)`;
   document.getElementById('t').textContent =
     (frame/DATA.fps).toFixed(2)+'s';
   scrub.value = frame;
@@ -132,10 +139,11 @@ setInterval(()=>{ if (playing) frame=(frame+1)%T; render(); },
 """
 
 
-def export(model: cm.CharModel, motion: md.MotionData, out_path: str,
-           path_nodes: Optional[np.ndarray] = None,
-           title: str = "motion") -> None:
-    """Write a standalone HTML viewer for one clip."""
+_CLIP_COLORS = ("#7ee787", "#79c0ff", "#ffa657", "#d2a8ff", "#f2cc60")
+
+
+def _clip_payload(model: cm.CharModel, motion: md.MotionData,
+                  label: str, color: str) -> dict:
     import jax.numpy as jnp
     from parc_tpu.utils import rotation as rot
 
@@ -144,26 +152,48 @@ def export(model: cm.CharModel, motion: md.MotionData, out_path: str,
     joint_q = cm.dof_to_rot(model, jnp.asarray(frames[:, 6:]))
     body_pos, _ = cm.forward_kinematics(model, jnp.asarray(frames[:, 0:3]),
                                         root_q, joint_q)
-    body_pos = np.asarray(body_pos, np.float64)
+    return {
+        "label": label, "color": color,
+        "body_pos": np.round(np.asarray(body_pos, np.float64), 4).tolist(),
+        "contacts": (np.asarray(motion.contacts).round(1).tolist()
+                     if motion.contacts is not None else None),
+    }
+
+
+def export_compare(model: cm.CharModel, motions: Sequence[md.MotionData],
+                   out_path: str, labels: Optional[Sequence[str]] = None,
+                   path_nodes: Optional[np.ndarray] = None,
+                   title: str = "motion") -> None:
+    """Write a standalone HTML viewer for one or more clips on a shared
+    terrain (e.g. kinematic reference vs physics-recorded motion — the
+    MOTION_FORGE stitcher/compare workflow).  The terrain and fps come
+    from the first clip that has them; playback clamps shorter clips."""
+    labels = list(labels) if labels else [f"clip{i}"
+                                          for i in range(len(motions))]
+    clips = [_clip_payload(model, m, lab,
+                           _CLIP_COLORS[i % len(_CLIP_COLORS)])
+             for i, (m, lab) in enumerate(zip(motions, labels))]
+    all_pos = np.concatenate(
+        [np.asarray(c["body_pos"]).reshape(-1, 3) for c in clips])
 
     data = {
         "title": title,
-        "fps": float(motion.fps),
+        "fps": float(motions[0].fps),
         "parents": list(model.parent_indices),
-        "body_pos": np.round(body_pos, 4).tolist(),
-        "contacts": (np.asarray(motion.contacts).round(1).tolist()
-                     if motion.contacts is not None else None),
-        "center": np.round(body_pos.mean(axis=(0, 1)), 3).tolist(),
+        "clips": clips,
+        "center": np.round(all_pos.mean(axis=0), 3).tolist(),
         "path": (np.round(np.asarray(path_nodes, np.float64), 3).tolist()
                  if path_nodes is not None else None),
     }
-    if motion.terrain is not None:
-        hf = np.asarray(motion.terrain.hf, np.float64)
+    terrain = next((m.terrain for m in motions if m.terrain is not None),
+                   None)
+    if terrain is not None:
+        hf = np.asarray(terrain.hf, np.float64)
         data["terrain"] = {
             "hf": np.round(hf, 3).tolist(),
-            "min_point": np.asarray(motion.terrain.min_point,
+            "min_point": np.asarray(terrain.min_point,
                                     np.float64).tolist(),
-            "dxdy": np.asarray(motion.terrain.dxdy, np.float64).tolist(),
+            "dxdy": np.asarray(terrain.dxdy, np.float64).tolist(),
             "hmin": float(hf.min()), "hmax": float(hf.max()),
         }
     else:
@@ -172,3 +202,11 @@ def export(model: cm.CharModel, motion: md.MotionData, out_path: str,
     html = _TEMPLATE.replace("__DATA__", json.dumps(data))
     with open(out_path, "w") as f:
         f.write(html)
+
+
+def export(model: cm.CharModel, motion: md.MotionData, out_path: str,
+           path_nodes: Optional[np.ndarray] = None,
+           title: str = "motion") -> None:
+    """Write a standalone HTML viewer for one clip."""
+    export_compare(model, [motion], out_path, labels=["motion"],
+                   path_nodes=path_nodes, title=title)

@@ -307,10 +307,22 @@ def test_viewer_exports(tmp_path):
     html_viewer.export(model, clip, html_path, path_nodes=nodes)
     html = open(html_path).read()
     data = json.loads(re.search(r"const DATA = (.*?);\n", html, re.S).group(1))
-    assert len(data["body_pos"]) == 90
-    assert len(data["body_pos"][0]) == model.num_bodies
+    assert len(data["clips"]) == 1
+    assert len(data["clips"][0]["body_pos"]) == 90
+    assert len(data["clips"][0]["body_pos"][0]) == model.num_bodies
     assert data["terrain"] is not None and data["path"] is not None
     assert "<canvas" in html and "requestAnimation" in html or "setInterval" in html
+
+    # multi-clip compare (reference vs recorded workflow)
+    clip_b = walking_clip(seed=1, n=60)
+    cmp_path = str(tmp_path / "cmp.html")
+    html_viewer.export_compare(model, [clip, clip_b], cmp_path,
+                               labels=["reference", "recorded"])
+    d2 = json.loads(re.search(r"const DATA = (.*?);\n",
+                              open(cmp_path).read(), re.S).group(1))
+    assert [c["label"] for c in d2["clips"]] == ["reference", "recorded"]
+    assert len(d2["clips"][1]["body_pos"]) == 60
+    assert d2["clips"][0]["color"] != d2["clips"][1]["color"]
 
     png = str(tmp_path / "s.png")
     render.render_motion_strip(model, clip, png, path_nodes=nodes)
