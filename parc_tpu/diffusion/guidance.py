@@ -123,21 +123,23 @@ def guidance_loss(mdm, state, x_std: jax.Array, hf: jax.Array,
         if gp.guide_speed or gp.guide_acc or gp.guide_jerk:
             body_pos = _fk_body_pos(model, feats)
             dt = 1.0 / mdm.scfg.fps
+            # eps-guarded norms: linalg.norm has a NaN gradient at
+            # exactly zero, and static predictions hit zero vel/acc/jerk
+            def _mag(x):
+                return jnp.sqrt(jnp.sum(x ** 2, axis=-1) + 1e-12)
+
             vel = body_pos[:, 1:] - body_pos[:, :-1]
             if gp.guide_speed:
-                speed = jnp.linalg.norm(vel, axis=-1)
                 total = total + gp.w_speed * jnp.sum(
-                    jnp.maximum(speed - gp.max_speed * dt, 0.0))
+                    jnp.maximum(_mag(vel) - gp.max_speed * dt, 0.0))
             acc = vel[:, 1:] - vel[:, :-1]
             if gp.guide_acc:
-                mag = jnp.linalg.norm(acc, axis=-1)
                 total = total + gp.w_acc * jnp.sum(
-                    jnp.maximum(mag - gp.max_acc * dt ** 2, 0.0))
+                    jnp.maximum(_mag(acc) - gp.max_acc * dt ** 2, 0.0))
             if gp.guide_jerk:
                 jerk = acc[:, 1:] - acc[:, :-1]
-                mag = jnp.linalg.norm(jerk, axis=-1)
                 total = total + gp.w_jerk * jnp.sum(
-                    jnp.maximum(mag - gp.max_jerk * dt ** 3, 0.0))
+                    jnp.maximum(_mag(jerk) - gp.max_jerk * dt ** 3, 0.0))
     return total
 
 

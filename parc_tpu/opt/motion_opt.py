@@ -100,10 +100,13 @@ def motion_opt_loss(model: cm.CharModel, cfg: MotionOptConfig,
     losses["slide"] = cfg.w_slide * jnp.mean(
         jnp.sqrt(slide + 1e-6) - 1e-3)
 
-    # jerk clamp on body positions
+    # jerk clamp on body positions.  NOT jnp.linalg.norm: its gradient at
+    # exactly zero is NaN, and a perfectly static motion has zero jerk —
+    # max(|j|-clamp, 0)^2 then back-propagates 0 * NaN = NaN into every
+    # frame variable on the first optimizer step.
     jerk = (body_pos[3:] - 3 * body_pos[2:-1] + 3 * body_pos[1:-2]
             - body_pos[:-3]) * cfg.fps**3
-    jerk_mag = jnp.linalg.norm(jerk, axis=-1)
+    jerk_mag = jnp.sqrt(jnp.sum(jerk**2, axis=-1) + 1e-12)
     losses["jerk"] = cfg.w_jerk * jnp.mean(
         jnp.maximum(jerk_mag - cfg.jerk_clamp, 0.0)**2)
 

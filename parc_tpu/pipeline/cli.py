@@ -20,6 +20,7 @@ import dataclasses
 import os
 import sys
 
+import numpy as np
 import yaml
 
 
@@ -201,6 +202,41 @@ def stage_augment(cfg: dict):
     print(f"wrote {len(paths)} augmented clips")
 
 
+def stage_optimize(cfg: dict):
+    """Batch terrain-aware contact optimization of existing clips
+    (reference: tools/motion_opt/optimize_motions.py)."""
+    import glob
+    import jax.numpy as jnp
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.opt import motion_opt
+    model = _build_model()
+    files = sorted(glob.glob(os.path.join(cfg["motions_dir"], "*.npz"))
+                   + glob.glob(os.path.join(cfg["motions_dir"], "*.pkl")))
+    out_dir = cfg.get("out_dir", "output/optimized")
+    os.makedirs(out_dir, exist_ok=True)
+    ocfg = _dataclass_from_dict(motion_opt.MotionOptConfig, cfg)
+    n = 0
+    for f in files:
+        m = md.load_motion_data(f)
+        if m.terrain is None:
+            print(f"skipping {f} (no terrain)")
+            continue
+        contacts = (m.contacts if m.contacts is not None
+                    else np.zeros((m.frames.shape[0], model.num_bodies),
+                                  np.float32))
+        frames, losses = motion_opt.motion_contact_optimization(
+            model, m.terrain.to_device(), jnp.asarray(m.frames),
+            jnp.asarray(contacts), ocfg)
+        base = os.path.splitext(os.path.basename(f))[0]
+        out = os.path.join(out_dir, base + "_opt.npz")
+        md.save_motion_data(out, dataclasses.replace(
+            m, frames=np.asarray(frames, np.float32)))
+        print(f"{base}: pen={losses['penetration']:.4f} "
+              f"contact={losses['contact']:.4f} -> {out}")
+        n += 1
+    print(f"optimized {n} clips")
+
+
 def stage_view(cfg: dict):
     """Export a standalone HTML viewer (and PNG strip) for a clip
     (reference: the MOTION_FORGE viewer app)."""
@@ -233,6 +269,7 @@ STAGES = {
     "setup_iter": stage_setup_iter,
     "metrics": stage_metrics,
     "augment": stage_augment,
+    "optimize": stage_optimize,
     "view": stage_view,
 }
 

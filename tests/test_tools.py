@@ -545,3 +545,42 @@ def test_keypoint_export_roundtrip(tmp_path, model):
     # pelvis keypoint tracks the root trajectory
     pel = kp[:, list(z["names"]).index("pelvis")]
     np.testing.assert_allclose(pel, clip.frames[:, 0:3], atol=1e-5)
+
+
+def test_static_motion_nan_gradients(model):
+    """Regression: exactly-static motions produce zero jerk/vel vectors;
+    linalg.norm has a NaN gradient at zero, which poisoned motion_opt and
+    sampling-time guidance on standing clips."""
+    import jax
+    from parc_tpu.data.synthetic import standing_clip
+    from parc_tpu.opt import motion_opt as mo
+
+    m = standing_clip()
+    terrain = m.terrain.to_device()
+    cfg = mo.MotionOptConfig(iters=30)
+    frames = jnp.asarray(m.frames)
+    contacts = jnp.asarray(m.contacts)
+    g = jax.grad(lambda x: mo.motion_opt_loss(
+        model, cfg, terrain, x, frames, contacts)[0])(frames)
+    assert np.all(np.isfinite(np.asarray(g)))
+    out, losses = mo.motion_contact_optimization(model, terrain, frames,
+                                                 contacts, cfg)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert all(np.isfinite(v) for v in losses.values())
+
+    # guidance hinges on a static prediction must also be differentiable
+    from parc_tpu.diffusion import guidance as guid
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.anim import motion_lib as ml
+    lib = ml.build_motion_lib(model, [m])
+    mdm = MDM(model, MDMConfig(diffusion_timesteps=11, d_model=32,
+                               num_heads=2, d_hid=32, num_layers=1))
+    state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=32)
+    gp = guid.GuidanceParams(guide_speed=True, guide_acc=True,
+                             guide_jerk=True, use_target=True, use_hf=True)
+    x_std = jnp.zeros((2, mdm.scfg.seq_len, mdm.frame_dim))
+    hf = jnp.zeros((2, 31, 31))
+    tgt = jnp.zeros((2, 2))
+    gg = jax.grad(lambda x: guid.guidance_loss(mdm, state, x, hf, tgt,
+                                               gp))(x_std)
+    assert np.all(np.isfinite(np.asarray(gg)))
