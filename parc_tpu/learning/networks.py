@@ -17,11 +17,16 @@ from flax import linen as nn
 class MLP(nn.Module):
     layers: Sequence[int]
     activation: Callable = nn.relu
+    # compute dtype for the matmuls (params stay f32); bf16 on TPU doubles
+    # MXU throughput on the 1312->2048->2048->2048 tracker trunks
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for width in self.layers:
-            x = self.activation(nn.Dense(width)(x))
+            x = self.activation(nn.Dense(width, dtype=self.dtype)(x))
         return x
 
 
@@ -33,10 +38,10 @@ _NET_REGISTRY = {
 }
 
 
-def build_net(name: str) -> MLP:
+def build_net(name: str, dtype: object = None) -> MLP:
     if name not in _NET_REGISTRY:
         raise KeyError(f"unknown net {name!r}; have {list(_NET_REGISTRY)}")
-    return MLP(layers=_NET_REGISTRY[name])
+    return MLP(layers=_NET_REGISTRY[name], dtype=dtype)
 
 
 class ActorCritic(nn.Module):
@@ -53,10 +58,14 @@ class ActorCritic(nn.Module):
     actor_std_type: str = "FIXED"
     action_std: float = 0.05
     actor_init_output_scale: float = 0.01
+    # trunk compute dtype (heads and outputs stay f32 so PPO logp/value
+    # math is full precision; rollout and update share the same apply, so
+    # epoch-0 importance ratios are exactly 1 regardless of dtype)
+    dtype: object = None
 
     def setup(self):
-        self.actor_trunk = build_net(self.actor_net)
-        self.critic_trunk = build_net(self.critic_net)
+        self.actor_trunk = build_net(self.actor_net, dtype=self.dtype)
+        self.critic_trunk = build_net(self.critic_net, dtype=self.dtype)
         init = nn.initializers.variance_scaling(
             self.actor_init_output_scale, "fan_avg", "uniform")
         self.actor_head = nn.Dense(self.action_dim, kernel_init=init)
@@ -70,7 +79,7 @@ class ActorCritic(nn.Module):
                 (self.action_dim,))
 
     def actor(self, obs):
-        h = self.actor_trunk(obs)
+        h = self.actor_trunk(obs).astype(jnp.float32)
         mean = self.actor_head(h)
         if self.actor_std_type == "FIXED":
             logstd = jnp.full_like(mean, jnp.log(self.action_std))
@@ -81,7 +90,8 @@ class ActorCritic(nn.Module):
         return mean, logstd
 
     def critic(self, obs):
-        return self.critic_head(self.critic_trunk(obs))[..., 0]
+        h = self.critic_trunk(obs).astype(jnp.float32)
+        return self.critic_head(h)[..., 0]
 
     def __call__(self, obs):
         mean, logstd = self.actor(obs)

@@ -57,6 +57,9 @@ class PPOConfig:
 
     actor_net: str = "fc_3layers_2048units"
     critic_net: str = "fc_3layers_2048units"
+    # bf16 trunk matmuls on accelerator backends (params/heads/losses stay
+    # f32, CPU stays full f32) — same policy as MDMConfig.bf16_compute
+    bf16_compute: bool = True
     actor_std_type: str = "FIXED"
     action_std: float = 0.05
     actor_init_output_scale: float = 0.01
@@ -121,6 +124,8 @@ class PPOAgent:
     def __init__(self, env, cfg: PPOConfig = PPOConfig()):
         self.env = env
         self.cfg = cfg
+        compute_dtype = (jnp.bfloat16 if cfg.bf16_compute
+                         and jax.default_backend() != "cpu" else None)
         if cfg.actor_net in ("dm_cnn_mlp", "dm_vit"):
             from parc_tpu.learning import vision_nets
             ecfg = env.cfg
@@ -137,7 +142,8 @@ class PPOAgent:
                 action_dim=env.action_dim,
                 actor_net=cfg.actor_net, critic_net=cfg.critic_net,
                 actor_std_type=cfg.actor_std_type, action_std=cfg.action_std,
-                actor_init_output_scale=cfg.actor_init_output_scale)
+                actor_init_output_scale=cfg.actor_init_output_scale,
+                dtype=compute_dtype)
         lo, hi = env.action_bounds()
         self.a_mid = (hi + lo) / 2.0
         self.a_scale = (hi - lo) / 2.0

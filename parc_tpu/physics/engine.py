@@ -698,9 +698,11 @@ def sim_step(model: cm.CharModel, params: SimParams,
         st = integrate(model, st, root_acc, qdd, h)
         return (st, net_accum + net), None
 
+    # unrolled: substeps is tiny (2) and unrolling lets XLA fuse across the
+    # substep boundary instead of paying scan carry round trips
     (state, net_accum), _ = jax.lax.scan(
         substep, (state, jnp.zeros_like(state.contact_forces)), None,
-        length=params.substeps)
+        length=params.substeps, unroll=True)
     return state.replace(contact_forces=net_accum / params.substeps)
 
 
@@ -715,7 +717,8 @@ def control_step(model: cm.CharModel, params: SimParams,
         return sim_step(model, params, terrain, st, pd_target_dof,
                         terrain_idx), None
 
-    state, _ = jax.lax.scan(body, state, None, length=sim_steps)
+    state, _ = jax.lax.scan(body, state, None, length=sim_steps,
+                            unroll=True)
     return state
 
 

@@ -135,6 +135,49 @@ def stage_record(cfg: dict):
     print(f"recorded {len(paths)}/{lib.num_motions} motions")
 
 
+def stage_eval(cfg: dict):
+    """Deterministic-policy evaluation of a trained tracker + optional
+    network-health diagnostics (reference: run.py modes test/test2,
+    learning/dm_ppo_agent.py:162-219 test metrics and :607-773 test_model2
+    dormant-unit / stable-rank report)."""
+    import jax
+    from parc_tpu.envs.base import EnvConfig
+    from parc_tpu.envs.deepmimic import DeepMimicEnv
+    from parc_tpu.learning import ppo as ppo_lib
+    from parc_tpu.learning.ppo import PPOAgent, PPOConfig
+    from parc_tpu.physics import engine
+    from parc_tpu.pipeline import dataset, train_tracker
+    from parc_tpu.utils import checkpoint as ckpt_lib
+    model = _build_model()
+    lib = dataset.load_dataset(model, cfg["dataset"])
+    env = DeepMimicEnv(model, engine.SimParams(),
+                       _dataclass_from_dict(EnvConfig, cfg))
+    agent = PPOAgent(env, _dataclass_from_dict(PPOConfig, cfg))
+    state = agent.init(lib, jax.random.PRNGKey(cfg.get("seed", 0)))
+    restored = ckpt_lib.restore(f"{cfg['tracker_dir']}/checkpoints",
+                                ppo_lib.persistent_state(state))
+    state = ppo_lib.merge_persistent(state, restored)
+    test_fn = train_tracker.make_test_fn(agent, lib,
+                                         cfg.get("test_steps", 300))
+    lib = jax.device_put(lib)
+    test = test_fn(lib, state, jax.random.PRNGKey(cfg.get("seed", 0)))
+    print(f"test_reward      {float(test['mean_reward']):.4f}")
+    print(f"episodes         {int(test['num_eps'])}")
+    print(f"mean_ep_len      {float(test['mean_ep_len']):.3f} s")
+    print(f"fail_frac        {float(test['fail_frac']):.4f}")
+    terr = np.asarray(test["tracking_error"])
+    for name, v in zip(train_tracker.TRACKING_ERROR_NAMES, terr):
+        print(f"{name:<16s} {float(v):.5f}")
+    if cfg.get("diagnostics"):
+        from parc_tpu.learning import diagnostics
+        report = diagnostics.full_report(agent, state, state.env_state.obs)
+        print("\nnetwork diagnostics (test2 parity):")
+        for layer, stats in report.items():
+            line = "  ".join(f"{k}={v:.4g}" if isinstance(v, float)
+                             else f"{k}={v}" for k, v in stats.items())
+            print(f"  {layer}: {line}")
+
+
 def stage_setup_iter(cfg: dict):
     """Write the per-iteration stage configs chaining output dirs
     (reference: parc_0_setup_iter.py)."""
@@ -260,6 +303,23 @@ def stage_view(cfg: dict):
     print(f"wrote {out} (+ .png strip)")
 
 
+def stage_studio(cfg: dict):
+    """Interactive browser studio: terrain editing, A* planning, MDM
+    generation, motion editing/optimization, physics tracking in the loop
+    (reference: the MOTION_FORGE Polyscope app)."""
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.viewer import studio
+    model = _build_model()
+    motion = (md.load_motion_data(cfg["input"])
+              if cfg.get("input") else None)
+    s = studio.Studio(model, motion,
+                      mdm_dir=cfg.get("mdm_dir"),
+                      tracker_dir=cfg.get("tracker_dir"),
+                      seed=cfg.get("seed", 0))
+    studio.run_studio(s, port=int(cfg.get("port", 8000)),
+                      host=cfg.get("host", "127.0.0.1"))
+
+
 STAGES = {
     "create_dataset": stage_create_dataset,
     "train_mdm": stage_train_mdm,
@@ -267,10 +327,12 @@ STAGES = {
     "train_tracker": stage_train_tracker,
     "record": stage_record,
     "setup_iter": stage_setup_iter,
+    "eval": stage_eval,
     "metrics": stage_metrics,
     "augment": stage_augment,
     "optimize": stage_optimize,
     "view": stage_view,
+    "studio": stage_studio,
 }
 
 
@@ -293,6 +355,10 @@ def main(argv=None):
     p.add_argument("--max_iters", type=int, default=None)
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--test_steps", type=int, default=None)
+    p.add_argument("--diagnostics", action="store_true", default=None)
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--host", default=None)
     args = p.parse_args(argv)
     STAGES[args.stage](_load_config(args))
 

@@ -92,6 +92,12 @@ def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
         plan_hf = np.asarray(terrain_lib.flat_maxpool_2x2(terrain).hf)
 
         start, goal = astar.pick_start_end_on_edges(plan_hf, rng_np)
+        # stable footing around the endpoints (reference:
+        # parc_2_kin_gen.py:304-310)
+        plan_hf = terrain_lib.flatten_4x4_near_edge(
+            plan_hf, start, float(plan_hf[start[0], start[1]]))
+        plan_hf = terrain_lib.flatten_4x4_near_edge(
+            plan_hf, goal, float(plan_hf[goal[0], goal[1]]))
         path = astar.run_a_star(plan_hf, dxdy, start, goal, rng=rng_np)
         if path is None:
             continue

@@ -267,6 +267,21 @@ def flat_maxpool_2x2(terrain: Terrain) -> Terrain:
     return terrain.replace(hf=hf)
 
 
+def flatten_4x4_near_edge(hf: np.ndarray, grid_ind, height: float
+                          ) -> np.ndarray:
+    """Flatten a 4x4 region around a grid cell to ``height``, aligned so
+    the region starts on an even index and the cell sits in its middle 2x2
+    (reference: util/terrain_util.py:2115-2133 — applied around A*
+    start/end nodes so planning begins on stable footing,
+    parc_2_kin_gen.py:304-310)."""
+    hf = np.asarray(hf).copy()
+    i, j = int(grid_ind[0]), int(grid_ind[1])
+    x0 = i - 2 if i % 2 == 0 else i - 1
+    y0 = j - 2 if j % 2 == 0 else j - 1
+    hf[max(x0, 0):x0 + 4, max(y0, 0):y0 + 4] = height
+    return hf
+
+
 # ---------------------------------------------------------------------------
 # Motion-aware masks / augmentation bounds
 # ---------------------------------------------------------------------------

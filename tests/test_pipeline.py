@@ -86,6 +86,14 @@ def test_tracker_train_and_record(dataset_yaml, model, tmp_path):
     merged = ppo_lib.merge_persistent(fresh, restored)
     assert float(merged.sample_count) > 0
 
+    # eval stage (run.py test/test2 parity): deterministic rollout metrics
+    # + network diagnostics from the saved checkpoint
+    from parc_tpu.pipeline import cli
+    cli.stage_eval(dict(
+        dataset=dataset_yaml, tracker_dir=str(tmp_path / "tracker"),
+        num_envs=2, test_steps=4, diagnostics=True,
+        actor_net="fc_2layers_512units", critic_net="fc_2layers_512units"))
+
     # record stage: one env per motion (standing should track; walkers may
     # fail at this training level but the machinery must produce output)
     env_r = DeepMimicEnv(model, engine.SimParams(),

@@ -584,3 +584,19 @@ def test_static_motion_nan_gradients(model):
     gg = jax.grad(lambda x: guid.guidance_loss(mdm, state, x, hf, tgt,
                                                gp))(x_std)
     assert np.all(np.isfinite(np.asarray(gg)))
+
+
+def test_flatten_4x4_near_edge():
+    """4x4 flatten aligns to even indices with the cell in the middle 2x2
+    (reference: util/terrain_util.py:2115-2133)."""
+    from parc_tpu.utils import terrain as terrain_lib
+    hf = np.arange(100, dtype=np.float32).reshape(10, 10)
+    out = terrain_lib.flatten_4x4_near_edge(hf, (4, 5), 7.0)
+    # even i=4 -> x [2,6); odd j=5 -> y [4,8)
+    assert (out[2:6, 4:8] == 7.0).all()
+    assert out[1, 4] == hf[1, 4] and out[6, 4] == hf[6, 4]
+    assert out[2, 3] == hf[2, 3] and out[2, 8] == hf[2, 8]
+    # clipped at the boundary, no wraparound
+    out2 = terrain_lib.flatten_4x4_near_edge(hf, (0, 0), -1.0)
+    assert (out2[0:2, 0:2] == -1.0).all()
+    assert out2[9, 9] == hf[9, 9]
