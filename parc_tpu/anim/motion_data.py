@@ -59,6 +59,9 @@ class MotionData:
     contacts: Optional[np.ndarray] = None  # (N, B)
     terrain: Optional[HostTerrain] = None
     hf_mask_inds: Optional[List[np.ndarray]] = None  # per-frame (K_t, 2) int
+    # optional per-frame policy observations recorded alongside the motion
+    # (reference recorded clips carry 'obs'/'obs_shapes', README.md:99-105)
+    obs: Optional[np.ndarray] = None       # (N, obs_dim)
 
     @property
     def num_frames(self) -> int:
@@ -78,6 +81,8 @@ def save_motion_data(path: str, motion: MotionData) -> None:
     }
     if motion.contacts is not None:
         data["contacts"] = motion.contacts.astype(np.float32)
+    if motion.obs is not None:
+        data["obs"] = motion.obs.astype(np.float32)
     if motion.terrain is not None:
         t = motion.terrain
         data["terrain_hf"] = t.hf.astype(np.float32)
@@ -117,7 +122,8 @@ def _load_npz(path: str) -> MotionData:
     return MotionData(
         frames=z["frames"], fps=float(z["fps"]), loop_mode=loop,
         contacts=z["contacts"] if "contacts" in z else None,
-        terrain=terrain, hf_mask_inds=hf_mask_inds)
+        terrain=terrain, hf_mask_inds=hf_mask_inds,
+        obs=z["obs"] if "obs" in z else None)
 
 
 class _Shim:

@@ -36,6 +36,9 @@ class RecordConfig:
     start_fractions: tuple = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5)
     success_slack: float = 2.0 / 30.0  # motion_time >= length - 2*dt
     max_steps: int = 1000
+    # also store per-step policy observations in the recorded clips
+    # (reference recorded pkls carry 'obs'/'obs_shapes')
+    save_obs: bool = False
 
 
 def _rollout_record(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
@@ -65,14 +68,14 @@ def _rollout_record(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
             # freeze envs that finished (done != NULL stops recording)
             now_done = new_es.done != DoneFlags.NULL
             out = (frame34, contacts, new_es.done, new_es.motion_times,
-                   alive)
+                   alive, new_es.terminal_obs)
             alive = alive & ~now_done
             return (new_es, alive), out
 
         alive0 = jnp.ones(motion_ids.shape, bool)
-        _, (frames, contacts, dones, mtimes, alive) = jax.lax.scan(
+        _, (frames, contacts, dones, mtimes, alive, obs) = jax.lax.scan(
             step_fn, (es, alive0), None, length=num_steps)
-        return frames, contacts, dones, mtimes, alive
+        return frames, contacts, dones, mtimes, alive, obs
 
     # all device data enters as jit arguments (no device-array closures)
     return jax.jit(run, static_argnames=())(rng, lib, state, motion_ids,
@@ -90,25 +93,33 @@ def record_motions(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
     results: List[Optional[md.MotionData]] = [None] * m
     pending = np.arange(m)
 
+    # fixed shapes across retry rounds: always roll the FULL motion set
+    # (pending ones matter, the rest are overwritten) with a global step
+    # count, so the rollout compiles exactly once instead of once per
+    # (shrinking) retry batch — remote-TPU compiles are minutes each.
+    all_lengths = np.asarray(lib.lengths)
+    num_steps = min(int(np.ceil(all_lengths.max() / dt)) + 2, cfg.max_steps)
+    ids = jnp.arange(m, dtype=jnp.int32)
+
     for fi, frac in enumerate(cfg.start_fractions):
         if len(pending) == 0:
             break
-        ids = jnp.asarray(pending, jnp.int32)
-        lengths = np.asarray(lib.lengths)[pending]
-        start_times = jnp.asarray(frac * lengths, jnp.float32)
-        num_steps = min(int(np.ceil(lengths.max() / dt)) + 2, cfg.max_steps)
+        lengths = all_lengths
+        start_times = jnp.asarray(frac * all_lengths, jnp.float32)
 
-        frames, contacts, dones, mtimes, alive = _rollout_record(
+        frames, contacts, dones, mtimes, alive, obs = _rollout_record(
             agent, lib, state, ids, start_times, num_steps,
             jax.random.PRNGKey(seed + fi))
         frames = np.asarray(frames)      # (T, B, 34)
         contacts = np.asarray(contacts)  # (T, B, J)
+        obs = np.asarray(obs) if cfg.save_obs else None  # (T, B, obs_dim)
         dones = np.asarray(dones)
         mtimes = np.asarray(mtimes)
         was_alive = np.asarray(alive)    # (T, B) alive *before* the step
 
         still_pending = []
-        for k, mid in enumerate(pending):
+        for mid in pending:
+            k = int(mid)  # env k tracks motion k (full-set rollout)
             # first step where the env finished
             done_steps = np.nonzero(dones[:, k] != DoneFlags.NULL)[0]
             end = int(done_steps[0]) + 1 if len(done_steps) else num_steps
@@ -130,7 +141,9 @@ def record_motions(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
                 dxdy=np.asarray(lib.terrain_dxdy))
             results[mid] = md.MotionData(
                 frames=clip_frames.astype(np.float32), fps=fps,
-                contacts=clip_contacts.astype(np.float32), terrain=terrain)
+                contacts=clip_contacts.astype(np.float32), terrain=terrain,
+                obs=(obs[:end, k].astype(np.float32)
+                     if obs is not None else None))
         pending = np.asarray(still_pending, np.int64)
 
     return results

@@ -100,7 +100,8 @@ def test_tracker_train_and_record(dataset_yaml, model, tmp_path):
                          EnvConfig(num_envs=lib.num_motions,
                                    rand_reset=False))
     agent_r = PPOAgent(env_r, agent.cfg)
-    rcfg = record.RecordConfig(start_fractions=(0.0, 0.3), max_steps=40)
+    rcfg = record.RecordConfig(start_fractions=(0.0, 0.3), max_steps=40,
+                               save_obs=True)
     results = record.record_motions(agent_r, lib, state, rcfg)
     assert len(results) == lib.num_motions
     saved = record.save_recorded(
@@ -109,6 +110,9 @@ def test_tracker_train_and_record(dataset_yaml, model, tmp_path):
         clip = md.load_motion_data(p)
         assert clip.frames.shape[-1] == 34
         assert np.all(np.isfinite(clip.frames))
+        # reference recorded clips carry per-step obs (README.md:99-105)
+        assert clip.obs is not None
+        assert clip.obs.shape == (clip.frames.shape[0], env_r.obs_dim)
 
 
 def test_kin_gen_smoke(dataset_yaml, model, tmp_path):
