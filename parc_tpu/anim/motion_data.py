@@ -62,6 +62,10 @@ class MotionData:
     # optional per-frame policy observations recorded alongside the motion
     # (reference recorded clips carry 'obs'/'obs_shapes', README.md:99-105)
     obs: Optional[np.ndarray] = None       # (N, obs_dim)
+    # optional generation losses ({'contact','pen','total'}) — the
+    # reference stores a 'loss' key on generated clips and the dataset
+    # builder filters on it (PARC/util/create_dataset.py:118-137)
+    losses: Optional[dict] = None
 
     @property
     def num_frames(self) -> int:
@@ -83,6 +87,9 @@ def save_motion_data(path: str, motion: MotionData) -> None:
         data["contacts"] = motion.contacts.astype(np.float32)
     if motion.obs is not None:
         data["obs"] = motion.obs.astype(np.float32)
+    if motion.losses:
+        for k, v in motion.losses.items():
+            data[f"loss_{k}"] = np.float32(v)
     if motion.terrain is not None:
         t = motion.terrain
         data["terrain_hf"] = t.hf.astype(np.float32)
@@ -123,7 +130,9 @@ def _load_npz(path: str) -> MotionData:
         frames=z["frames"], fps=float(z["fps"]), loop_mode=loop,
         contacts=z["contacts"] if "contacts" in z else None,
         terrain=terrain, hf_mask_inds=hf_mask_inds,
-        obs=z["obs"] if "obs" in z else None)
+        obs=z["obs"] if "obs" in z else None,
+        losses={k[len("loss_"):]: float(z[k])
+                for k in z.files if k.startswith("loss_")} or None)
 
 
 class _Shim:
@@ -186,9 +195,12 @@ def load_reference_pkl(path: str) -> MotionData:
     lm = raw.get("loop_mode", CLAMP)
     if not isinstance(lm, str):
         lm = CLAMP if int(getattr(lm, "value", 0)) == 0 else WRAP
+    losses = None
+    if raw.get("loss") is not None:  # reference stores a scalar total loss
+        losses = {"total": float(_to_numpy(raw["loss"]))}
     return MotionData(frames=frames, fps=float(raw.get("fps", 30)),
                       loop_mode=lm, contacts=contacts, terrain=terrain,
-                      hf_mask_inds=hf_mask_inds)
+                      hf_mask_inds=hf_mask_inds, losses=losses)
 
 
 def load_motion_data(path: str) -> MotionData:

@@ -29,6 +29,7 @@ class DatasetConfig:
     min_motion_weight: float = 0.01
     max_contact_loss: float = 3.0
     max_pen_loss: float = 8.0
+    max_total_loss: float = 30.0
 
 
 def scan_motion_files(root_dir: str) -> Dict[str, List[str]]:
@@ -71,6 +72,14 @@ def create_dataset_yaml(root_dir: str, out_path: str,
             if clip.terrain is not None:
                 h, w = clip.terrain.hf.shape
                 if max(h, w) > cfg.max_terrain_cells:
+                    continue
+            # drop high-loss generated clips (reference:
+            # PARC/util/create_dataset.py:118-137 filters on clip 'loss')
+            if clip.losses is not None:
+                if (clip.losses.get("contact", 0.0) > cfg.max_contact_loss
+                        or clip.losses.get("pen", 0.0) > cfg.max_pen_loss
+                        or clip.losses.get("total", 0.0)
+                        > cfg.max_total_loss):
                     continue
             durations.append(clip.length)
             kept.append(f)

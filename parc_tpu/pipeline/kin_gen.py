@@ -144,10 +144,13 @@ def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
                 hf=hf, min_point=np.zeros(2, np.float32), dxdy=dxdy,
                 hf_mask=np.asarray(aug.hf_mask),
                 hf_maxmin=np.asarray(aug.hf_maxmin))
+            clip_losses = {"contact": float(result.contact_loss[i]),
+                           "pen": float(result.pen_loss[i]),
+                           "total": float(result.total_loss[i])}
             clips.append(md.MotionData(
                 frames=f_np.astype(np.float32), fps=cfg.path_cfg.fps,
                 contacts=None if c_np is None else c_np.astype(np.float32),
-                terrain=clip_terrain))
+                terrain=clip_terrain, losses=clip_losses))
             if cfg.mirror:
                 fm, cm_ = motion_edit.flip_motion_about_xz(
                     model, jnp.asarray(f_np),
@@ -157,7 +160,8 @@ def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
                     fps=cfg.path_cfg.fps,
                     contacts=None if cm_ is None
                     else np.asarray(cm_).astype(np.float32),
-                    terrain=motion_edit.flip_terrain_about_xz(clip_terrain)))
+                    terrain=motion_edit.flip_terrain_about_xz(clip_terrain),
+                    losses=clip_losses))
         return clips
     return []
 

@@ -217,3 +217,30 @@ def test_astar_mdm_replan(dataset_yaml, model, tmp_path):
     assert (tmp_path / "astar_mdm.npz").exists()
     reloaded = md.load_motion_data(str(tmp_path / "astar_mdm.npz"))
     assert reloaded.frames.shape == clip.frames.shape
+
+
+def test_loss_roundtrip_and_dataset_filter(model, tmp_path):
+    """Generated-clip losses persist through .npz and gate dataset
+    inclusion (reference: PARC/util/create_dataset.py:118-137)."""
+    from parc_tpu.pipeline import dataset
+
+    root = tmp_path / "motions"
+    (root / "gen").mkdir(parents=True)
+    good = walking_clip(seed=0)
+    good.losses = {"contact": 0.5, "pen": 0.2, "total": 5.0}
+    bad = walking_clip(seed=1)
+    bad.losses = {"contact": 9.0, "pen": 0.2, "total": 12.0}
+    md.save_motion_data(str(root / "gen" / "good.npz"), good)
+    md.save_motion_data(str(root / "gen" / "bad.npz"), bad)
+
+    reloaded = md.load_motion_data(str(root / "gen" / "good.npz"))
+    assert reloaded.losses == pytest.approx(
+        {"contact": 0.5, "pen": 0.2, "total": 5.0})
+
+    out = dataset.create_dataset_yaml(str(root), str(tmp_path / "d.yaml"))
+    import yaml
+    with open(out) as f:
+        manifest = yaml.safe_load(f)
+    files = [m["file"] for m in manifest["motions"]]
+    assert any(f.endswith("good.npz") for f in files)
+    assert not any(f.endswith("bad.npz") for f in files)
