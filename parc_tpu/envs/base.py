@@ -110,7 +110,11 @@ class EnvState:
     terminal_obs: jax.Array   # (N, obs_dim) pre-reset obs (bootstrapping)
     reward: jax.Array         # (N,)
     done: jax.Array           # (N,) DoneFlags
-    time: jax.Array           # (N,) episode time
+    time: jax.Array           # (N,) episode time (post-reset, like obs)
+    # pre-reset episode time of the step (meaningful where done != NULL):
+    # the in-graph auto-reset zeroes `time` before the caller can read the
+    # finished episode's length, so it is reported here like terminal_obs
+    terminal_times: jax.Array  # (N,)
     motion_ids: jax.Array     # (N,) int32
     motion_times: jax.Array   # (N,) ref motion time
     start_times: jax.Array    # (N,) episode ref start time

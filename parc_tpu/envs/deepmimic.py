@@ -182,6 +182,7 @@ class DeepMimicEnv:
             reward=jnp.zeros((n,)),
             done=jnp.zeros((n,), jnp.int32),
             time=jnp.zeros((n,)),
+            terminal_times=jnp.zeros((n,)),
             motion_ids=motion_ids,
             motion_times=times,
             start_times=times,
@@ -471,5 +472,6 @@ class DeepMimicEnv:
             # done/reward/stats report the pre-reset values; the pre-reset
             # obs is kept for terminal bootstrapping
             done=done, reward=reward, rng=rng, terminal_obs=obs,
+            terminal_times=time,
             fail_rates=fail_rates, reward_components=comps,
             tracking_error=track_err)

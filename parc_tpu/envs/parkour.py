@@ -382,5 +382,6 @@ class ParkourEnv(DeepMimicEnv):
             target_xy=reset_state.target_xy,
             replan_timer=state.replan_timer,
             done=done, reward=reward, rng=rng, terminal_obs=obs,
+            terminal_times=state.time,
             fail_rates=fail_rates, reward_components=comps,
             tracking_error=track_err)

@@ -136,7 +136,8 @@ class PPOAgent:
             self.net = cls(action_dim=env.action_dim,
                            layout=env.obs_layout, hf_shape=hf_shape,
                            action_std=cfg.action_std,
-                           actor_init_output_scale=cfg.actor_init_output_scale)
+                           actor_init_output_scale=cfg.actor_init_output_scale,
+                           dtype=compute_dtype)
         else:
             self.net = ActorCritic(
                 action_dim=env.action_dim,
@@ -209,7 +210,7 @@ class PPOAgent:
                 "reward": new_env_state.reward,
                 "done": new_env_state.done,
                 "next_obs": new_env_state.terminal_obs,
-                "ep_time": new_env_state.time,
+                "ep_time": new_env_state.terminal_times,
                 "tracking_error": new_env_state.tracking_error,
             }
             return (new_env_state, rng), trans

@@ -25,19 +25,24 @@ class RayConvTokenizer(nn.Module):
 
     hf_shape: Tuple[int, int]      # e.g. (7, 63): rays x samples
     d_out: int = 256
+    dtype: object = None           # bf16 compute (params stay f32)
 
     @nn.compact
     def __call__(self, hf_flat):
         x = hf_flat.reshape(hf_flat.shape[:-1] + self.hf_shape + (1,))
-        x = nn.Conv(32, (3, 5), padding="SAME")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Conv(32, (3, 5), padding="SAME", dtype=self.dtype)(x)
         x = nn.gelu(x)
-        x = nn.Conv(64, (3, 5), strides=(1, 3), padding="SAME")(x)
+        x = nn.Conv(64, (3, 5), strides=(1, 3), padding="SAME",
+                    dtype=self.dtype)(x)
         x = nn.gelu(x)
-        x = nn.Conv(64, (3, 5), strides=(1, 3), padding="SAME")(x)
+        x = nn.Conv(64, (3, 5), strides=(1, 3), padding="SAME",
+                    dtype=self.dtype)(x)
         x = nn.gelu(x)
         # tokens = positions along the ray dimension
         tokens = x.reshape(x.shape[:-3] + (-1, x.shape[-1]))
-        return nn.Dense(self.d_out)(tokens)
+        return nn.Dense(self.d_out, dtype=self.dtype)(tokens)
 
 
 class DMCnnMlp(nn.Module):
@@ -49,6 +54,7 @@ class DMCnnMlp(nn.Module):
     mlp_layers: Sequence[int] = (1024, 1024, 512)
     action_std: float = 0.05
     actor_init_output_scale: float = 0.01
+    dtype: object = None           # trunk compute dtype; heads stay f32
 
     def _split(self, obs):
         s = self.layout.slices()
@@ -61,11 +67,13 @@ class DMCnnMlp(nn.Module):
     @nn.compact
     def __call__(self, obs):
         hf, rest = self._split(obs)
-        hf_feat = RayConvTokenizer(self.hf_shape, d_out=128)(hf)
+        hf_feat = RayConvTokenizer(self.hf_shape, d_out=128,
+                                   dtype=self.dtype)(hf)
         hf_feat = hf_feat.reshape(hf_feat.shape[:-2] + (-1,))
-        x = jnp.concatenate([rest, hf_feat], axis=-1)
+        x = jnp.concatenate([rest.astype(hf_feat.dtype), hf_feat], axis=-1)
         for w in self.mlp_layers:
-            x = nn.relu(nn.Dense(w)(x))
+            x = nn.relu(nn.Dense(w, dtype=self.dtype)(x))
+        x = x.astype(jnp.float32)
         init = nn.initializers.variance_scaling(
             self.actor_init_output_scale, "fan_avg", "uniform")
         mean = nn.Dense(self.action_dim, kernel_init=init)(x)
@@ -93,35 +101,41 @@ class DMViT(nn.Module):
     num_layers: int = 3
     action_std: float = 0.05
     actor_init_output_scale: float = 0.01
+    dtype: object = None           # encoder compute dtype; heads stay f32
 
     @nn.compact
     def __call__(self, obs):
         s = self.layout.slices()
         hf = obs[..., s["hf_obs"]]
-        hf_tokens = RayConvTokenizer(self.hf_shape, d_out=self.d_model)(hf)
+        hf_tokens = RayConvTokenizer(self.hf_shape, d_out=self.d_model,
+                                     dtype=self.dtype)(hf)
 
         seg_tokens = []
         for name, sl in s.items():
             if name == "hf_obs":
                 continue
-            seg_tokens.append(nn.Dense(self.d_model)(obs[..., sl]))
+            seg_tokens.append(
+                nn.Dense(self.d_model, dtype=self.dtype)(
+                    obs[..., sl].astype(self.dtype)
+                    if self.dtype is not None else obs[..., sl]))
         toks = jnp.stack(seg_tokens, axis=-2)
         cls = self.param("cls", nn.initializers.normal(0.02),
                          (1, self.d_model))
         cls = jnp.broadcast_to(cls, toks.shape[:-2] + (1, self.d_model))
-        x = jnp.concatenate([cls, toks, hf_tokens], axis=-2)
+        x = jnp.concatenate([cls.astype(toks.dtype), toks, hf_tokens],
+                            axis=-2)
         pos = self.param("pos", nn.initializers.normal(0.02),
                          (x.shape[-2], self.d_model))
-        x = x + pos
+        x = x + pos.astype(x.dtype)
         for _ in range(self.num_layers):
-            h = nn.MultiHeadDotProductAttention(num_heads=self.num_heads)(
-                x, x)
-            x = nn.LayerNorm()(x + h)
-            h = nn.Dense(4 * self.d_model)(x)
+            h = nn.MultiHeadDotProductAttention(num_heads=self.num_heads,
+                                                dtype=self.dtype)(x, x)
+            x = nn.LayerNorm(dtype=self.dtype)(x + h)
+            h = nn.Dense(4 * self.d_model, dtype=self.dtype)(x)
             h = nn.gelu(h)
-            h = nn.Dense(self.d_model)(h)
-            x = nn.LayerNorm()(x + h)
-        feat = x[..., 0, :]
+            h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+            x = nn.LayerNorm(dtype=self.dtype)(x + h)
+        feat = x[..., 0, :].astype(jnp.float32)
         init = nn.initializers.variance_scaling(
             self.actor_init_output_scale, "fan_avg", "uniform")
         mean = nn.Dense(self.action_dim, kernel_init=init)(feat)

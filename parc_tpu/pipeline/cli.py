@@ -315,7 +315,8 @@ def stage_studio(cfg: dict):
     s = studio.Studio(model, motion,
                       mdm_dir=cfg.get("mdm_dir"),
                       tracker_dir=cfg.get("tracker_dir"),
-                      seed=cfg.get("seed", 0))
+                      seed=cfg.get("seed", 0),
+                      mdm_config=cfg)  # MDMConfig keys filtered inside
     studio.run_studio(s, port=int(cfg.get("port", 8000)),
                       host=cfg.get("host", "127.0.0.1"))
 

@@ -54,21 +54,29 @@ def _rollout_record(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
 
         def step_fn(carry, _):
             es, alive = carry
+            # capture the PRE-step state: the post-step state of done envs
+            # is already auto-reset in-graph, so recording it would splice
+            # a respawn pose into the clip.  Pre-step capture yields
+            # [s_0, ..., s_{done-1}] including the initial state, matching
+            # the reference's per-step appends (ig_parkour_env.py:957-995).
+            frame34 = jnp.concatenate([
+                es.sim.root_pos,
+                rot.quat_to_exp_map(es.sim.root_rot),
+                cm.rot_to_dof(model, es.sim.joint_rot)], axis=-1)
+            contacts = (jnp.linalg.norm(es.sim.contact_forces, axis=-1)
+                        > 1e-3).astype(jnp.float32)
             norm_obs = norm_lib.normalize(state.obs_norm, es.obs)
             mean, _ = agent.net.apply(state.params, norm_obs,
                                       method="actor")
             action = agent.a_mid + agent.a_scale * mean
             new_es = env.step(lib, es, action)
-            frame34 = jnp.concatenate([
-                new_es.sim.root_pos,
-                rot.quat_to_exp_map(new_es.sim.root_rot),
-                cm.rot_to_dof(model, new_es.sim.joint_rot)], axis=-1)
-            contacts = (jnp.linalg.norm(new_es.sim.contact_forces, axis=-1)
-                        > 1e-3).astype(jnp.float32)
             # freeze envs that finished (done != NULL stops recording)
             now_done = new_es.done != DoneFlags.NULL
-            out = (frame34, contacts, new_es.done, new_es.motion_times,
-                   alive, new_es.terminal_obs)
+            # pre-reset motion time of this step (new_es.motion_times is
+            # already re-sampled for done envs by the in-graph auto-reset)
+            mt_pre = es.motion_times + env.cfg.control_dt
+            out = (frame34, contacts, new_es.done, mt_pre,
+                   alive, es.obs)
             alive = alive & ~now_done
             return (new_es, alive), out
 

@@ -66,7 +66,9 @@ def make_test_fn(agent: PPOAgent, lib: ml.MotionLib, num_steps: int):
                                       method="actor")
             action = agent.a_mid + agent.a_scale * mean
             es = env.step(lib, es, action)
-            out = (es.reward, es.done, es.time, es.tracking_error)
+            # terminal_times = pre-reset episode time (es.time is already
+            # zeroed for done envs by the in-graph auto-reset)
+            out = (es.reward, es.done, es.terminal_times, es.tracking_error)
             return es, out
 
         _, (rewards, dones, times, terr) = jax.lax.scan(

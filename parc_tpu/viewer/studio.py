@@ -58,7 +58,7 @@ class Studio:
                  motion: Optional[md.MotionData] = None,
                  mdm_dir: Optional[str] = None,
                  tracker_dir: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, mdm_config: Optional[dict] = None):
         if model is None:
             from parc_tpu.data.humanoid import humanoid_spec
             model = humanoid_spec().build()
@@ -70,6 +70,7 @@ class Studio:
         self.path_grid: Optional[np.ndarray] = None    # (P, 2) int
         self.mdm_dir = mdm_dir
         self.tracker_dir = tracker_dir
+        self.mdm_config = mdm_config or {}  # MDMConfig overrides
         self.rng = np.random.default_rng(seed)
         self.status = "ready"
 
@@ -242,7 +243,9 @@ class Studio:
             raise StudioError("run A* first (mdm_gen follows the path)")
         t = self._terrain()
 
-        mdm = MDM(self.model, MDMConfig())
+        fields = {f.name for f in dataclasses.fields(MDMConfig)}
+        mdm = MDM(self.model, MDMConfig(**{
+            k: v for k, v in self.mdm_config.items() if k in fields}))
         lib = ml.build_motion_lib(self.model, [self._require_motion()])
         state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=64)
         state = ckpt_lib.restore(os.path.join(mdm_dir, "checkpoints"),

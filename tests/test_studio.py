@@ -137,3 +137,32 @@ def test_http_server(model):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_mdm_gen_in_studio(model, tmp_path):
+    """Studio diffusion workflow: A* plan -> MDM generation from a saved
+    checkpoint (diffusion_gui / mdm_tester parity). Tiny untrained MDM —
+    structural correctness only."""
+    import jax
+    from parc_tpu.anim import motion_lib as ml
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.utils import checkpoint as ckpt_lib
+
+    tiny = dict(diffusion_timesteps=11, d_model=32, num_heads=2,
+                d_hid=32, num_layers=1)
+    st = Studio(model, walking_clip(seed=0), mdm_config=tiny,
+                mdm_dir=str(tmp_path / "mdm"))
+    # save a tiny init checkpoint for the studio to restore
+    mdm = MDM(model, MDMConfig(**tiny))
+    lib = ml.build_motion_lib(model, [st.motion])
+    state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=64)
+    ckpt_lib.save(str(tmp_path / "mdm" / "checkpoints"), 1, state)
+
+    st.procgen(kind="flat", x_dim=12, y_dim=12)
+    st.astar(start=[2, 2], end=[9, 9])
+    with pytest.raises(StudioError):
+        Studio(model, walking_clip(seed=0)).mdm_gen()  # no mdm_dir
+    s = st.mdm_gen(batch_size=2, max_seconds=1.0)
+    assert "mdm_gen" in s["status"]
+    assert st.motion.frames.shape[-1] == 34
+    assert np.all(np.isfinite(st.motion.frames))
