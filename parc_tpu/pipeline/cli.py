@@ -88,19 +88,32 @@ def stage_kin_gen(cfg: dict):
 
 
 def stage_train_tracker(cfg: dict):
-    from parc_tpu.envs.base import EnvConfig
-    from parc_tpu.envs.deepmimic import DeepMimicEnv
+    """Tracker training (parc_3). ``env_name: deepmimic`` (default) trains
+    on the dataset clips; ``env_name: parkour`` trains the reference's
+    full composition env — a dm fraction tracking dataset clips plus an
+    mgdm fraction tracking MDM-generated references replanned in-graph
+    (reference: envs/ig_parkour/ig_parkour_env.py:65-67)."""
+    from parc_tpu.envs import builder
     from parc_tpu.learning.ppo import PPOAgent, PPOConfig
-    from parc_tpu.physics import engine
     from parc_tpu.pipeline import dataset, train_tracker
     model = _build_model()
     lib = dataset.load_dataset(model, cfg["dataset"])
-    env = DeepMimicEnv(model,
-                       _dataclass_from_dict(engine.SimParams, cfg)
-                       if hasattr(engine.SimParams, "__dataclass_fields__")
-                       else engine.SimParams(),
-                       _dataclass_from_dict(EnvConfig, cfg))
+
+    mdm = None
+    if cfg.get("env_name") in ("parkour", "mgdm"):
+        import jax
+        from parc_tpu.diffusion.mdm import MDM, MDMConfig
+        from parc_tpu.utils import checkpoint as ckpt_lib
+        mdm = MDM(model, _dataclass_from_dict(MDMConfig, cfg))
+        mdm_state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=256)
+        if cfg.get("mdm_dir"):
+            mdm_state = ckpt_lib.restore(
+                f"{cfg['mdm_dir']}/checkpoints", mdm_state)
+
+    env = builder.build_env(model, cfg, mdm=mdm)
     agent = PPOAgent(env, _dataclass_from_dict(PPOConfig, cfg))
+    if cfg.get("env_name") == "parkour":
+        lib = env.make_lib(lib, mdm_state)
     tcfg = _dataclass_from_dict(train_tracker.TrainerConfig, cfg)
     if cfg.get("out_dir"):
         tcfg = dataclasses.replace(tcfg, output_dir=cfg["out_dir"])
@@ -360,6 +373,8 @@ def main(argv=None):
     p.add_argument("--diagnostics", action="store_true", default=None)
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--host", default=None)
+    p.add_argument("--env_name", default=None,
+                   choices=["deepmimic", "parkour", "mgdm"])
     args = p.parse_args(argv)
     STAGES[args.stage](_load_config(args))
 

@@ -244,3 +244,21 @@ def test_loss_roundtrip_and_dataset_filter(model, tmp_path):
     files = [m["file"] for m in manifest["motions"]]
     assert any(f.endswith("good.npz") for f in files)
     assert not any(f.endswith("bad.npz") for f in files)
+
+
+def test_cli_parkour_training(dataset_yaml, model, tmp_path):
+    """CLI parc_3 parity for the full composition env: env_name=parkour
+    trains dm + mgdm fractions with an (untrained tiny) MDM in the loop."""
+    from parc_tpu.pipeline import cli
+    cli.stage_train_tracker(dict(
+        dataset=dataset_yaml, out_dir=str(tmp_path / "trk"),
+        env_name="parkour", num_envs=4, mgdm_num=2, plan_frames=8,
+        ddim_stride=5, terrain_dim=24, max_iters=2,
+        # tiny nets + tiny MDM for CPU
+        steps_per_iter=2, update_epochs=1, batch_size=1,
+        actor_net="fc_2layers_512units", critic_net="fc_2layers_512units",
+        diffusion_timesteps=11, d_model=32, num_heads=2, d_hid=32,
+        num_layers=1, iters_per_output=2, iters_per_checkpoint=2,
+        test_steps=3))
+    from parc_tpu.utils import checkpoint as ckpt_lib
+    assert ckpt_lib.latest_step(str(tmp_path / "trk" / "checkpoints")) == 2
