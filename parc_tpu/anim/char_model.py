@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
+import struct as _struct
 import xml.etree.ElementTree as ET
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -44,9 +46,14 @@ _DOF_DIMS = {ROOT: 0, HINGE: 1, SPHERICAL: 3, FIXED: 0}
 class GeomSpec:
     """Collision/visual geometry attached to a body.
 
-    ``kind`` is one of sphere / capsule / box. Spheres and boxes use ``pos``
-    + ``size`` (sphere radius, or box half extents); capsules use ``fromto``
-    (segment endpoints in the body frame) + ``size`` (radius).
+    ``kind`` is one of sphere / capsule / box / mesh. Spheres and boxes use
+    ``pos`` + ``size`` (sphere radius, or box half extents); capsules use
+    ``fromto`` (segment endpoints in the body frame) + ``size`` (radius).
+    Meshes carry their vertices (body frame, already offset by pos/quat);
+    mass/inertia use the AABB box approximation and contact points use the
+    lowest-extent vertices (reference parses mesh assets via trimesh,
+    anim/kin_char_model.py:206-449 — trimesh is not in this image, so
+    OBJ/STL are loaded natively and approximated analytically).
     """
 
     kind: str
@@ -55,6 +62,7 @@ class GeomSpec:
     fromto: Optional[Tuple[float, ...]] = None
     density: float = 1000.0
     quat: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    verts: Optional[np.ndarray] = None    # (V, 3) mesh vertices, body frame
 
     # -- analytic mass properties (about body-frame origin) ----------------
     def mass_properties(self):
@@ -99,6 +107,16 @@ class GeomSpec:
                 r_mat = np.stack([x, y, z], axis=-1)
                 i_local = r_mat @ i_local @ r_mat.T
             return m, com, i_local
+        if self.kind == "mesh":
+            lo = self.verts.min(axis=0)
+            hi = self.verts.max(axis=0)
+            h = np.maximum((hi - lo) / 2.0, 1e-6)
+            m = self.density * 8.0 * float(h[0] * h[1] * h[2])
+            ix = m / 3.0 * (h[1] ** 2 + h[2] ** 2)
+            iy = m / 3.0 * (h[0] ** 2 + h[2] ** 2)
+            iz = m / 3.0 * (h[0] ** 2 + h[1] ** 2)
+            com = (lo + hi) / 2.0
+            return m, com, np.diag([ix, iy, iz])
         raise ValueError(f"unsupported geom kind {self.kind}")
 
     def contact_points(self):
@@ -125,6 +143,18 @@ class GeomSpec:
                 corners = corners + qw * t + np.cross(qv, t)
             corners = corners + np.asarray(self.pos, np.float64)
             return corners, np.zeros((8,))
+        if self.kind == "mesh":
+            # a small farthest-point subset of the vertices (ground contact
+            # needs surface extremes, not the full cloud)
+            v = np.asarray(self.verts, np.float64)
+            pts = [v[np.argmin(v[:, 2])]]
+            for _ in range(min(7, len(v) - 1)):
+                d = np.min(np.linalg.norm(
+                    v[:, None, :] - np.asarray(pts)[None, :, :], axis=-1),
+                    axis=-1)
+                pts.append(v[np.argmax(d)])
+            pts = np.asarray(pts)
+            return pts, np.zeros((len(pts),))
         raise ValueError(self.kind)
 
 
@@ -332,6 +362,47 @@ def build_char_model(spec: CharModelSpec, dtype=jnp.float32) -> CharModel:
 # ---------------------------------------------------------------------------
 
 
+def load_mesh_vertices(path: str) -> np.ndarray:
+    """Load mesh vertices from .obj (ascii) or .stl (binary or ascii).
+
+    Dependency-free replacement for the reference's trimesh mesh-asset
+    loading (anim/kin_char_model.py:206-449); only vertices are needed —
+    mass properties and contact/surface samples are derived from them.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        verts = []
+        with open(path) as f:
+            for line in f:
+                if line.startswith("v "):
+                    parts = line.split()
+                    verts.append([float(parts[1]), float(parts[2]),
+                                  float(parts[3])])
+        if not verts:
+            raise ValueError("no vertices in OBJ")
+        return np.asarray(verts, np.float64)
+    if ext == ".stl":
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:5] == b"solid" and b"facet" in data[:500]:
+            verts = []
+            for line in data.decode(errors="ignore").splitlines():
+                line = line.strip()
+                if line.startswith("vertex"):
+                    parts = line.split()
+                    verts.append([float(parts[1]), float(parts[2]),
+                                  float(parts[3])])
+            if not verts:
+                raise ValueError("no vertices in ascii STL")
+            return np.unique(np.asarray(verts, np.float64), axis=0)
+        n_tri = _struct.unpack("<I", data[80:84])[0]
+        verts = np.frombuffer(
+            data, np.uint8, count=n_tri * 50, offset=84
+        ).reshape(n_tri, 50)[:, 12:48].copy().view("<f4").reshape(-1, 3)
+        return np.unique(verts.astype(np.float64), axis=0)
+    raise ValueError(f"unsupported mesh format {ext!r}")
+
+
 def _parse_vec(s, default):
     if s is None:
         return tuple(default)
@@ -354,6 +425,24 @@ def parse_mjcf(path: str) -> CharModelSpec:
     """
     tree = ET.parse(path)
     root_el = tree.getroot()
+
+    # mesh assets (<asset><mesh name file [scale]>) — loaded natively
+    meshes: Dict[str, np.ndarray] = {}
+    asset_el = root_el.find("asset")
+    if asset_el is not None:
+        base = os.path.dirname(os.path.abspath(path))
+        for mel in asset_el.findall("mesh"):
+            fname = mel.attrib.get("file")
+            if not fname:
+                continue
+            scale = _parse_vec(mel.attrib.get("scale"), (1.0, 1.0, 1.0))
+            try:
+                v = load_mesh_vertices(os.path.join(base, fname))
+                meshes[mel.attrib.get("name",
+                                      os.path.splitext(fname)[0])] = (
+                    v * np.asarray(scale, np.float64))
+            except (OSError, ValueError) as e:
+                print(f"warning: mesh asset {fname!r} skipped: {e}")
 
     # actuator gears by joint name
     gears = {}
@@ -425,6 +514,19 @@ def parse_mjcf(path: str) -> CharModelSpec:
                             size=(float(el.attrib.get("size", 0.1)),),
                             density=density, quat=quat)
         pos = _parse_vec(el.attrib.get("pos"), (0, 0, 0))
+        if kind == "mesh":
+            name = el.attrib.get("mesh", "")
+            if name not in meshes:
+                raise ValueError(f"geom references unknown mesh {name!r}")
+            v = meshes[name].copy()
+            q = np.asarray(quat, np.float64)
+            if abs(q[3] - 1.0) > 1e-9:
+                qv, qw = q[:3], q[3]
+                t = 2.0 * np.cross(qv, v)
+                v = v + qw * t + np.cross(qv, t)
+            v = v + np.asarray(pos, np.float64)
+            return GeomSpec("mesh", pos=pos, density=density, quat=quat,
+                            verts=v)
         size = _parse_vec(el.attrib.get("size"), (0.1,))
         return GeomSpec(kind, pos=pos, size=size, density=density, quat=quat)
 
@@ -610,6 +712,16 @@ def export_mjcf(spec: CharModelSpec) -> str:
                 jel.set("range", fmt([_math.degrees(v)
                                       for v in j.limits[0]]))
         for g in b.geoms:
+            if g.kind == "mesh":
+                # meshes re-export as their AABB box (the asset file is not
+                # round-tripped); keeps the emitted MJCF self-contained
+                lo, hi = g.verts.min(axis=0), g.verts.max(axis=0)
+                gel = ET.SubElement(el, "geom", type="box",
+                                    pos=fmt((lo + hi) / 2.0),
+                                    size=fmt((hi - lo) / 2.0))
+                if g.density != 1000.0:
+                    gel.set("density", f"{g.density:.6g}")
+                continue
             gel = ET.SubElement(el, "geom", type=g.kind)
             if g.kind == "capsule":
                 gel.set("fromto", fmt(g.fromto))

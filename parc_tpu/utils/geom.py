@@ -175,6 +175,11 @@ def char_surface_points(spec) -> Tuple[np.ndarray, np.ndarray]:
             elif g.kind == "capsule":
                 pts = capsule_surface_points(g.fromto[:3], g.fromto[3:6],
                                              g.size[0])
+            elif g.kind == "mesh":
+                # subsample the vertex cloud (verts are already body-frame)
+                v = np.asarray(g.verts, np.float64)
+                step = max(len(v) // 64, 1)
+                pts = v[::step]
             else:
                 continue
             for p in pts:

@@ -152,3 +152,35 @@ def test_strong_hf_guidance(setup):
         batch.target_dir, stride=25, guidance=gp,
         target_xy=jnp.ones((2, 2))))()
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_rot_changer_roundtrip():
+    """frames34 -> {quat, tan_norm} -> frames34 preserves the pose
+    (reference: diffusion/utils/rot_changer.py:8-100)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from parc_tpu.anim import char_model as cm
+    from parc_tpu.data.humanoid import humanoid_spec
+    from parc_tpu.data.synthetic import walking_clip
+    from parc_tpu.diffusion.rot_changer import ROT_TYPES, RotChanger
+    from parc_tpu.utils import rotation as rot
+
+    model = humanoid_spec().build()
+    frames = jnp.asarray(walking_clip(seed=3).frames[:8])
+    for rt in ROT_TYPES:
+        rc = RotChanger(model, rt)
+        enc = rc.from_frames34(frames)
+        assert enc.shape[-1] == rc.frame_dim
+        dec = rc.to_frames34(enc)
+        assert dec.shape == frames.shape
+        # compare poses via FK (dof/exp-map have sign ambiguities)
+        def fk(f):
+            return cm.forward_kinematics(
+                model, f[..., 0:3], rot.exp_map_to_quat(f[..., 3:6]),
+                cm.dof_to_rot(model, f[..., 6:]))[0]
+        np.testing.assert_allclose(np.asarray(fk(dec)),
+                                   np.asarray(fk(frames)),
+                                   atol=1e-4, err_msg=rt)
+    with __import__("pytest").raises(ValueError):
+        RotChanger(model, "matrix")
