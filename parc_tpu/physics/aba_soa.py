@@ -202,22 +202,49 @@ def _cols(x: jax.Array, n: int) -> list:
 def aba_soa(model: cm.CharModel, params, state, tau: jax.Array,
             d_extra: jax.Array, f_ext: jax.Array, dt: float):
     """Drop-in replacement for engine.aba_reference (same contract)."""
-    nb = model.num_bodies
     dtype = state.root_pos.dtype
-
-    # --- unpack state into column vectors -------------------------------
     tau_c = _cols(tau, model.dof_size)
     dex_c = _cols(d_extra, model.dof_size)
     dv_c = _cols(state.dof_vel, model.dof_size)
+    body_rot_c = [_cols(state.body_rot[..., j, :], 4)
+                  for j in range(model.num_bodies)]
+    body_pos_c = [_cols(state.body_pos[..., j, :], 3)
+                  for j in range(model.num_bodies)]
+    body_vel_c = [_cols(state.body_vel[..., j, :], 3)
+                  for j in range(model.num_bodies)]
+    body_ang_c = [_cols(state.body_ang_vel[..., j, :], 3)
+                  for j in range(model.num_bodies)]
+    f_ext_c = [_cols(f_ext[..., j, :], 6) for j in range(model.num_bodies)]
+
+    root_acc, qdd_c = aba_soa_cols(
+        model, params, dv_c, body_pos_c, body_rot_c, body_vel_c, body_ang_c,
+        tau_c, dex_c, f_ext_c)
+
+    batch = state.root_pos.shape[:-1]
+
+    def as_arr(col):
+        if isinstance(col, (int, float)):
+            return jnp.full(batch, col, dtype)
+        return col
+    root_acc_arr = jnp.stack([as_arr(c) for c in root_acc], axis=-1)
+    qdd_arr = jnp.stack([as_arr(c) for c in qdd_c], axis=-1)
+    return root_acc_arr, qdd_arr
+
+
+def aba_soa_cols(model: cm.CharModel, params, dv_c, body_pos_c, body_rot_c,
+                 body_vel_c, body_ang_c, tau_c, dex_c, f_ext_c):
+    """Column-level ABA core: inputs/outputs are python lists of same-shaped
+    arrays (any shape — (N,) under jit, VMEM blocks inside a Pallas
+    kernel).  Returns (root_acc list[6], qdd list[dof_size], entries may be
+    scalar 0.0)."""
+    nb = model.num_bodies
 
     body_r = []          # 3x3 rotation per body
     v = []               # spatial velocity per body
-    pos = []             # body origin positions
+    pos = body_pos_c     # body origin positions
     for j in range(nb):
-        body_r.append(_quat_to_m33(_cols(state.body_rot[..., j, :], 4)))
-        v.append(_cols(state.body_ang_vel[..., j, :], 3)
-                 + _cols(state.body_vel[..., j, :], 3))
-        pos.append(_cols(state.body_pos[..., j, :], 3))
+        body_r.append(_quat_to_m33(body_rot_c[j]))
+        v.append(list(body_ang_c[j]) + list(body_vel_c[j]))
 
     # --- joint subspaces, joint velocities, bias ------------------------
     s_mats: List = [None] * nb   # 6x3 (list of 18) padded subspaces
@@ -272,7 +299,7 @@ def aba_soa(model: cm.CharModel, params, state, tau: jax.Array,
             m66.extend([mass if i == k else 0.0 for k in range(3)])
         ia[j] = m66
         iv = _matvec(m66, v[j], 6, 6)
-        fj = _cols(f_ext[..., j, :], 6)
+        fj = f_ext_c[j]
         pa[j] = _sub(_cross_force(v[j], iv), fj)
 
     # --- inward pass ------------------------------------------------------
@@ -340,14 +367,8 @@ def aba_soa(model: cm.CharModel, params, state, tau: jax.Array,
             qdd_c[o + k] = qdd3[k]
         a[j] = _add(a_p, _matvec(s_mats[j], qdd3, 6, 3))
 
-    batch = state.root_pos.shape[:-1]
-    def as_arr(col):
-        if isinstance(col, (int, float)):
-            return jnp.full(batch, col, dtype)
-        return col
-    root_acc_arr = jnp.stack([as_arr(c) for c in root_acc], axis=-1)
-    qdd_arr = jnp.stack([as_arr(c) for c in qdd_c], axis=-1)
-    return root_acc_arr, qdd_arr
+    qdd_c = [0.0 if c is None else c for c in qdd_c]
+    return root_acc, qdd_c
 
 
 # ---------------------------------------------------------------------------
@@ -391,23 +412,47 @@ def _quat_normalize_cols(q) -> list:
 def refresh_kinematics_soa(model: cm.CharModel, state):
     """FK + world body velocities in column form (replaces
     engine.refresh_kinematics's batch-major per-joint quat loops)."""
-    nb = model.num_bodies
-    root_pos = _cols(state.root_pos, 3)
-    root_rot = _cols(state.root_rot, 4)
-    dv = _cols(state.dof_vel, model.dof_size)
+    joint_rot_c = [_cols(state.joint_rot[..., j, :], 4)
+                   for j in range(model.num_bodies - 1)]
+    pos, quat, lin, ang = fk_vel_cols(
+        model, _cols(state.root_pos, 3), _cols(state.root_rot, 4),
+        joint_rot_c, _cols(state.root_vel, 3),
+        _cols(state.root_ang_vel, 3), _cols(state.dof_vel, model.dof_size))
 
+    batch = state.root_pos.shape[:-1]
+    dtype = state.root_pos.dtype
+
+    def stack(cols_list, k):
+        rows = []
+        for cols in cols_list:
+            rows.append(jnp.stack(
+                [jnp.broadcast_to(jnp.asarray(c, dtype), batch)
+                 for c in cols], axis=-1))
+        return jnp.stack(rows, axis=-2)
+
+    return state.replace(
+        body_pos=stack(pos, 3), body_rot=stack(quat, 4),
+        body_vel=stack(lin, 3), body_ang_vel=stack(ang, 3))
+
+
+def fk_vel_cols(model: cm.CharModel, root_pos, root_rot, joint_rot_c,
+                root_vel, root_ang_vel, dv):
+    """Column-level FK + body velocities core (shape-agnostic, reusable
+    inside a Pallas kernel).  Returns (pos, quat, lin, ang) — lists over
+    bodies of lists of columns."""
+    nb = model.num_bodies
     # joint world angular rates: w_world[j] = R_body[j] @ (dof_map[j] @ qd)
-    pos = [root_pos]
-    quat = [root_rot]
-    ang = [_cols(state.root_ang_vel, 3)]
-    lin = [_cols(state.root_vel, 3)]
+    pos = [list(root_pos)]
+    quat = [list(root_rot)]
+    ang = [list(root_ang_vel)]
+    lin = [list(root_vel)]
     dof_map = np.asarray(model.dof_map)  # (J-1, 3, D) static
 
     for j in range(1, nb):
         parent = model.parent_indices[j]
         lt = [float(x) for x in np.asarray(model.local_translation[j])]
         lr = [float(x) for x in np.asarray(model.local_rotation[j])]
-        jq = _cols(state.joint_rot[..., j - 1, :], 4)
+        jq = joint_rot_c[j - 1]
         # world rotation/translation
         cur = _quat_mul_cols(lr, jq)
         q_w = _quat_mul_cols(quat[parent], cur)  # no normalize: parity
@@ -434,17 +479,4 @@ def refresh_kinematics_soa(model: cm.CharModel, state):
         ang.append(w)
         lin.append(v)
 
-    batch = state.root_pos.shape[:-1]
-    dtype = state.root_pos.dtype
-
-    def stack(cols_list, k):
-        rows = []
-        for cols in cols_list:
-            rows.append(jnp.stack(
-                [jnp.broadcast_to(jnp.asarray(c, dtype), batch)
-                 for c in cols], axis=-1))
-        return jnp.stack(rows, axis=-2)
-
-    return state.replace(
-        body_pos=stack(pos, 3), body_rot=stack(quat, 4),
-        body_vel=stack(lin, 3), body_ang_vel=stack(ang, 3))
+    return pos, quat, lin, ang

