@@ -39,7 +39,7 @@ class EnvConfig:
     """Static env configuration (defaults follow the reference tracker env,
     reference: PARC/tracker_config/dm_env_default.yaml)."""
 
-    num_envs: int = 1024
+    num_envs: int = 2048  # reference default (PARC/tracker_default.yaml:4)
     episode_length: float = 10.0
     control_freq: int = 30
     sim_freq: int = 60
