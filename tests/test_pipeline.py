@@ -262,3 +262,43 @@ def test_cli_parkour_training(dataset_yaml, model, tmp_path):
         test_steps=3))
     from parc_tpu.utils import checkpoint as ckpt_lib
     assert ckpt_lib.latest_step(str(tmp_path / "trk" / "checkpoints")) == 2
+
+
+def test_cli_setup_iter_view_metrics(dataset_yaml, model, tmp_path):
+    """Remaining CLI stages: setup_iter writes chained per-stage configs
+    (parc_0 parity); view exports the HTML viewer + PNG strip; metrics
+    writes the per-clip quality CSV."""
+    import yaml
+    from parc_tpu.pipeline import cli
+
+    cli.stage_setup_iter(dict(root=str(tmp_path / "parc"), iter=1,
+                              num_motions=7))
+    base = tmp_path / "parc" / "iter_1"
+    for stage in ("train_mdm", "kin_gen", "train_tracker", "record",
+                  "create_dataset"):
+        with open(base / f"{stage}.yaml") as f:
+            cfg = yaml.safe_load(f)
+        assert cfg, stage
+    with open(base / "kin_gen.yaml") as f:
+        kg = yaml.safe_load(f)
+    assert kg["num_motions"] == 7
+    assert kg["mdm_dir"] == str(base / "mdm")
+    # create_dataset chains into iter_2
+    with open(base / "create_dataset.yaml") as f:
+        cd = yaml.safe_load(f)
+    assert "iter_2" in cd["out"]
+
+    # view + metrics on a real clip from the dataset manifest
+    with open(dataset_yaml) as f:
+        clip_path = yaml.safe_load(f)["motions"][0]["file"]
+    out_html = str(tmp_path / "clip.html")
+    cli.stage_view(dict(input=clip_path, out=out_html))
+    assert os.path.getsize(out_html) > 1000
+    assert os.path.exists(out_html.replace(".html", ".png"))
+
+    motions_dir = os.path.dirname(clip_path)
+    csv_path = str(tmp_path / "metrics.csv")
+    cli.stage_metrics(dict(motions_dir=motions_dir, out=csv_path))
+    with open(csv_path) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) >= 2  # header + >=1 clip
