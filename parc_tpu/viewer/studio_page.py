@@ -212,6 +212,23 @@ addEventListener('mousemove', e => { if (!drag) return;
   pitch = Math.max(0.05, Math.min(1.5, pitch));
   drag = [e.clientX,e.clientY]; });
 cv.onwheel = e => { dist *= Math.exp(e.deltaY*0.001); e.preventDefault(); };
+// MOTION_FORGE hotkeys (reference README): A terrain height, N waypoint,
+// G generate; plus O orbit, space play/pause
+addEventListener('keydown', e => {
+  if (e.target.tagName === 'INPUT' || e.target.tagName === 'SELECT') return;
+  const setMode = m => { mode = m;
+    document.querySelectorAll('.mode').forEach(x =>
+      x.classList.toggle('on', x.dataset.m === m)); };
+  if (e.key === 'a' || e.key === 'A') setMode(e.shiftKey ? 'lower' : 'raise');
+  else if (e.key === 'n' || e.key === 'N')
+    setMode(mode === 'start' ? 'end' : 'start');
+  else if (e.key === 'g' || e.key === 'G')
+    api('mdm_gen', v('mdmdir') ? {mdm_dir: v('mdmdir')} : {});
+  else if (e.key === 'o' || e.key === 'O') setMode('orbit');
+  else if (e.key === ' ') { playing = !playing;
+    document.getElementById('play').textContent = playing ? 'pause' : 'play';
+    e.preventDefault(); }
+});
 function quad(a,b,c,d2,fill,stroke) {
   const pts=[a,b,c,d2].map(proj); if (pts.some(p=>!p)) return null;
   return {z:(pts[0][2]+pts[2][2])/2, draw(){
