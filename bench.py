@@ -74,24 +74,42 @@ def main():
     lib = jax.device_put(lib, devices[0])
     print(f"# setup: {time.time() - t_setup:.1f}s", file=sys.stderr)
 
-    def rollout(lib, env_state, params, obs_norm):
-        def step_fn(carry, _):
-            es = carry
-            norm_obs = norm_lib.normalize(obs_norm, es.obs)
-            mean, _ = agent.net.apply(params, norm_obs,
-                                      method="actor")
-            action = agent.a_mid + agent.a_scale * mean
-            es = env.step(lib, es, action)
-            return es, es.reward.mean()
+    if n_chips > 1:
+        # multi-chip: shard the env batch over a 'data' mesh with
+        # shard_map — per-shard local batches keep the Pallas physics
+        # kernel legal (GSPMD cannot auto-shard a pallas_call)
+        from parc_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(n_chips, model_parallel=1)
+        assert NUM_ENVS % n_chips == 0
+        rollout_jit = mesh_lib.make_sharded_rollout(
+            env, agent.net, agent.a_mid, agent.a_scale, mesh,
+            lib, state.env_state, num_steps=ROLLOUT_STEPS)
+        from jax.sharding import NamedSharding, PartitionSpec
+        state = state.replace(env_state=jax.device_put(
+            state.env_state,
+            mesh_lib.batch_shardings(mesh, state.env_state, NUM_ENVS)))
+        lib = jax.device_put(
+            lib, jax.tree.map(
+                lambda _: NamedSharding(mesh, PartitionSpec()), lib))
+    else:
+        def rollout(lib, env_state, params, obs_norm):
+            def step_fn(carry, _):
+                es = carry
+                norm_obs = norm_lib.normalize(obs_norm, es.obs)
+                mean, _ = agent.net.apply(params, norm_obs,
+                                          method="actor")
+                action = agent.a_mid + agent.a_scale * mean
+                es = env.step(lib, es, action)
+                return es, es.reward.mean()
 
-        es, rewards = jax.lax.scan(step_fn, env_state, None,
-                                   length=ROLLOUT_STEPS)
-        return es, rewards.mean()
+            es, rewards = jax.lax.scan(step_fn, env_state, None,
+                                       length=ROLLOUT_STEPS)
+            return es, rewards.mean()
 
-    # lib enters as a jit argument: device-array closures would be fetched
-    # back over the TPU tunnel during lowering.  (No buffer donation: the
-    # axon remote backend stalls on donated inputs.)
-    rollout_jit = jax.jit(rollout)
+        # lib enters as a jit argument: device-array closures would be
+        # fetched back over the TPU tunnel during lowering.  (No buffer
+        # donation: the axon remote backend stalls on donated inputs.)
+        rollout_jit = jax.jit(rollout)
 
     t0 = time.time()
     es, rew = rollout_jit(lib, state.env_state, state.params,

@@ -73,6 +73,110 @@ def shard_agent_state(mesh: Mesh, agent_state: Any, num_envs: int) -> Any:
     return jax.device_put(agent_state, shardings)
 
 
+def env_batch_pspec(x, num_envs: int) -> P:
+    """PartitionSpec for one leaf: 'data'-sharded iff the leading dim is
+    the env batch."""
+    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == num_envs:
+        return P("data")
+    return P()
+
+
+def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
+    """Data-parallel PPO ``train_iter`` under ``shard_map`` — the multichip
+    path that KEEPS the Pallas physics kernel (GSPMD auto-partitioning
+    cannot shard a ``pallas_call``; under shard_map each shard sees a local
+    env batch, so the kernel launches per-chip).
+
+    Per-shard divergence is explicit: the agent/env rng streams are folded
+    with the shard index so every chip simulates different envs; gradients,
+    normalizer statistics, and advantage moments reduce over the 'data'
+    axis inside ``train_iter`` (axis_name plumbing, learning/ppo.py), and
+    the per-motion fail-rate EMA is pmean-reconciled once per iteration —
+    the reference's per-process MotionLib fail rates are likewise only
+    synchronized through the gradient allreduce cadence
+    (learning/mp_optimizer.py:83-90, dm_env.py:720-783).
+
+    DeepMimic envs only (ParkourState's generated-reference buffers need
+    the replan MDM call sharded too; use GSPMD with use_pallas=False
+    there).  ``lib`` and ``state`` are used for pytree structure only.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    num_envs = agent.env.cfg.num_envs
+    assert num_envs % mesh.shape["data"] == 0, (
+        f"num_envs {num_envs} must divide the data axis "
+        f"{mesh.shape['data']}")
+    state_spec = jax.tree.map(lambda x: env_batch_pspec(x, num_envs), state)
+    lib_spec = jax.tree.map(lambda x: P(), lib)
+
+    def local_fn(lib, st):
+        didx = jax.lax.axis_index("data")
+        # split off replicated next-keys, fold the shard index into the
+        # local streams so shards explore independently
+        rng_next, rng_local = jax.random.split(st.rng)
+        env_rng_next, env_rng_local = jax.random.split(st.env_state.rng)
+        st = st.replace(
+            rng=jax.random.fold_in(rng_local, didx),
+            env_state=st.env_state.replace(
+                rng=jax.random.fold_in(env_rng_local, didx)))
+        new_state, metrics = agent.train_iter(lib, st, axis_name="data")
+        counts = (jax.lax.psum(metrics.num_dones, "data"),
+                  jax.lax.psum(metrics.num_fails, "data"))
+        metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "data"), metrics)
+        metrics = metrics.replace(num_dones=counts[0], num_fails=counts[1])
+        new_state = new_state.replace(
+            rng=rng_next,
+            env_state=new_state.env_state.replace(
+                rng=env_rng_next,
+                fail_rates=jax.lax.pmean(new_state.env_state.fail_rates,
+                                         "data")))
+        return new_state, metrics
+
+    metrics_spec = jax.tree.map(
+        lambda _: P(), jax.eval_shape(
+            lambda l, s: agent.train_iter(l, s, axis_name=None)[1],
+            lib, state))
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(lib_spec, state_spec),
+                   out_specs=(state_spec, metrics_spec),
+                   check_rep=False)
+    return jax.jit(fn)
+
+
+def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
+                         lib, env_state, num_steps: int):
+    """Deterministic-policy rollout under shard_map (bench / eval on a
+    multi-chip mesh, Pallas physics kept).  Returns jitted
+    fn(lib, env_state, params, obs_norm) -> (env_state, mean_reward)."""
+    from jax.experimental.shard_map import shard_map
+    from parc_tpu.learning import normalizer as norm_lib
+
+    num_envs = env_state.done.shape[0]
+    state_spec = jax.tree.map(lambda x: env_batch_pspec(x, num_envs),
+                              env_state)
+    lib_spec = jax.tree.map(lambda x: P(), lib)
+
+    def local_fn(lib, es, params, obs_norm):
+        didx = jax.lax.axis_index("data")
+        es = es.replace(rng=jax.random.fold_in(es.rng, didx))
+
+        def step_fn(es, _):
+            norm_obs = norm_lib.normalize(obs_norm, es.obs)
+            mean, _ = net.apply(params, norm_obs, method="actor")
+            es = env.step(lib, es, a_mid + a_scale * mean)
+            return es, es.reward.mean()
+
+        es, rewards = jax.lax.scan(step_fn, es, None, length=num_steps)
+        return es, jax.lax.pmean(rewards.mean(), "data")
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(lib_spec, state_spec, P(), P()),
+        out_specs=(state_spec, P()),
+        check_rep=False)
+    return jax.jit(fn)
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:

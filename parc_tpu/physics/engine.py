@@ -723,7 +723,10 @@ def control_step(model: cm.CharModel, params: SimParams,
     ``SimParams.use_pallas=False`` to force the XLA path (required under
     GSPMD auto-partitioning — a pallas_call cannot be auto-sharded; use
     shard_map, where the per-shard batch is local, or disable)."""
-    if params.use_pallas and jax.default_backend() != "cpu":
+    # Mosaic kernels are TPU-only: exclude every known non-TPU backend
+    # (the remote-axon backend reports as TPU-like and stays included)
+    if params.use_pallas and jax.default_backend() not in (
+            "cpu", "gpu", "cuda", "rocm", "metal"):
         from parc_tpu.physics.pallas_substep import control_step_pallas
         return control_step_pallas(model, params, terrain, state,
                                    pd_target_dof, sim_steps=sim_steps,

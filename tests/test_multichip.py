@@ -1,0 +1,87 @@
+"""Multi-chip (8 virtual CPU devices) sharding tests.
+
+Two multichip paths exist (CLAUDE.md / engine.control_step docstring):
+* GSPMD auto-partitioning — jit over a (data, model) mesh, XLA inserts the
+  collectives, but cannot shard a pallas_call (use_pallas=False);
+* shard_map over the 'data' axis — per-shard local env batches, the Pallas
+  physics kernel stays legal, explicit pmean/psum reductions
+  (reference DP contract: learning/mp_optimizer.py:83-90).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parc_tpu.anim import motion_lib as ml
+from parc_tpu.data.humanoid import humanoid_spec
+from parc_tpu.data.synthetic import standing_clip, walking_clip
+from parc_tpu.envs.base import EnvConfig
+from parc_tpu.envs.deepmimic import DeepMimicEnv
+from parc_tpu.learning.ppo import PPOAgent, PPOConfig
+from parc_tpu.parallel import mesh as mesh_lib
+from parc_tpu.physics import engine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = humanoid_spec().build()
+    env = DeepMimicEnv(model, engine.SimParams(), EnvConfig(num_envs=32))
+    lib = ml.build_motion_lib(
+        model, [standing_clip(), walking_clip(seed=1)])
+    agent = PPOAgent(env, PPOConfig(
+        steps_per_iter=4, update_epochs=1, batch_size=1,
+        actor_net="fc_2layers_512units", critic_net="fc_2layers_512units"))
+    state = agent.init(lib, jax.random.PRNGKey(0))
+    return agent, lib, state
+
+
+def test_sharded_train_iter(setup):
+    """shard_map train_iter: grads/stats reduce over 'data'; per-shard rng
+    streams diverge; fail rates reconcile; global sample count."""
+    agent, lib, state = setup
+    mesh = mesh_lib.make_mesh(8, model_parallel=1)
+    train = mesh_lib.make_sharded_train_iter(agent, mesh, lib, state)
+    lib_d = jax.device_put(lib)
+    s1, m1 = train(lib_d, state)
+    s2, m2 = train(lib_d, s1)
+    assert float(s2.sample_count) == 2 * 4 * 32   # psum over shards
+    assert np.isfinite(float(m2.mean_reward))
+    assert np.isfinite(float(m2.critic_loss))
+    # params/normalizer identical across shards (pmean'd grads): pulling
+    # them to host must not raise a non-replicated error and be finite
+    leaves = jax.tree.leaves(jax.tree.map(np.asarray, s2.params))
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    fr = np.asarray(s2.env_state.fail_rates)
+    assert fr.shape == (lib.num_motions,) and np.all(np.isfinite(fr))
+    # per-shard env rng fold: different shards must have sampled different
+    # reset motions / times (motion_times differ across the batch)
+    mt = np.asarray(s2.env_state.motion_times)
+    assert len(np.unique(np.round(mt, 6))) > 4
+
+
+def test_sharded_vs_single_iter_shapes(setup):
+    """The sharded path returns exactly the single-device pytree shapes."""
+    agent, lib, state = setup
+    mesh = mesh_lib.make_mesh(8, model_parallel=1)
+    train = mesh_lib.make_sharded_train_iter(agent, mesh, lib, state)
+    s_sh, m_sh = train(jax.device_put(lib), state)
+    ref_shapes = jax.eval_shape(
+        lambda l, s: agent.train_iter(l, s, axis_name=None), lib, state)
+    got = jax.tree.map(lambda x: x.shape, (s_sh, m_sh))
+    want = jax.tree.map(lambda x: x.shape, ref_shapes)
+    assert got == want
+
+
+def test_sharded_rollout(setup):
+    agent, lib, state = setup
+    mesh = mesh_lib.make_mesh(8, model_parallel=1)
+    roll = mesh_lib.make_sharded_rollout(
+        agent.env, agent.net, agent.a_mid, agent.a_scale, mesh,
+        lib, state.env_state, num_steps=4)
+    es, rew = roll(jax.device_put(lib), state.env_state, state.params,
+                   state.obs_norm)
+    assert np.isfinite(float(rew))
+    assert es.obs.shape == state.env_state.obs.shape
