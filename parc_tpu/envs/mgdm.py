@@ -2,43 +2,46 @@
 
 Instead of replaying dataset clips, the reference motions are periodically
 *generated* by the motion diffusion model on a procedurally generated
-terrain: every ``plan_seconds`` all envs synchronously replan — one batched
-MDM call produces the next reference window for every env, conditioned on
-the current reference state and a random xy target.
+terrain: every ``plan_frames`` control steps all envs synchronously replan
+— one batched MDM call produces the next reference window for every env,
+conditioned on the current reference state and a random xy target.
 
 Reference parity: envs/ig_parkour/mgdm_env.py:37-862 (synchronized replan
 :575-826, procgen platform terrain :206-350, OOB termination :159-204,
 random targets :430-474).
 
-TPU design: the reference swaps in a fresh MotionLib each replan
-(mgdm_env.py:769-773); here the generated references live in a fixed-shape
-ring buffer (N, T, ...) that one jitted replan call overwrites — no
-allocation, no retracing.
+Implementation note: :class:`MGDMEnv` is a thin alias of
+:class:`~parc_tpu.envs.parkour.ParkourEnv` with ``mgdm_num = num_envs`` —
+the replan / standing-window spawn / target-sampling / OOB logic exists
+exactly once, in ParkourEnv (the reference duplicates it between dm_env
+and mgdm_env).  The generated references live in the fixed-shape window
+buffer inside ParkourState; replans run inside the jitted step under a
+``lax.cond`` (the reference swaps whole MotionLibs on host instead,
+mgdm_env.py:769-773).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from flax import struct
 
 from parc_tpu.anim import char_model as cm
-from parc_tpu.diffusion import gen as gen_lib
+from parc_tpu.anim import motion_lib as ml
 from parc_tpu.diffusion.mdm import MDM, MDMState
-from parc_tpu.envs import obs as obs_mod
-from parc_tpu.envs.base import DoneFlags, EnvConfig
+from parc_tpu.envs.base import EnvConfig
+from parc_tpu.envs.parkour import ParkourConfig, ParkourEnv, ParkourLib
 from parc_tpu.physics import engine
-from parc_tpu.utils import rotation as rot
 from parc_tpu.utils import terrain as terrain_lib
 
 
 @dataclasses.dataclass(frozen=True)
 class MGDMConfig:
-    num_envs: int = 256
+    """Standalone-mgdm knobs (mapped onto ParkourConfig)."""
+
     plan_frames: int = 15            # frames per MDM window
     fps: float = 30.0
     target_radius: float = 3.0       # random target sampling radius
@@ -47,16 +50,7 @@ class MGDMConfig:
     oob_z_high: float = 6.0
     ddim_stride: int = 20
     guidance_scale: float = 1.0
-
-
-@struct.dataclass
-class MGDMRefState:
-    """Fixed-shape generated-reference buffer."""
-
-    frames34: jax.Array     # (N, T, 34) world-frame reference window
-    contacts: jax.Array     # (N, T, B)
-    frame_idx: jax.Array    # (N,) current index into the window
-    target_xy: jax.Array    # (N, 2) current xy goals
+    spawn_margin_cells: int = 4
 
 
 def make_platform_terrain(rng: np.random.Generator, dim: int = 64,
@@ -71,145 +65,34 @@ def make_platform_terrain(rng: np.random.Generator, dim: int = 64,
     return t.replace(hf=jnp.asarray(hf))
 
 
-class MGDMEnv:
-    """Generated-reference tracking env.
-
-    Host orchestration: call ``replan`` every ``plan_frames`` control steps
-    (a single jitted batched MDM sampling call), and ``step`` (jitted)
-    otherwise.  The reference does the same split — replans are the only
-    host-synchronized boundary (SURVEY §7: host<->TPU traffic only at
-    replan/reset boundaries).
+class MGDMEnv(ParkourEnv):
+    """Generated-reference tracking env = ParkourEnv with every env in the
+    mgdm fraction.  Same EnvState API as every other env; pass a
+    :class:`ParkourLib` bundle (see :meth:`make_default_lib`) as ``lib``.
     """
 
     def __init__(self, model: cm.CharModel, sim_params: engine.SimParams,
                  env_cfg: EnvConfig, mgdm_cfg: MGDMConfig, mdm: MDM,
                  terrain: terrain_lib.Terrain):
-        self.model = model
-        self.sim_params = sim_params
-        self.cfg = env_cfg
+        pcfg = ParkourConfig(
+            mgdm_num=env_cfg.num_envs,
+            plan_frames=mgdm_cfg.plan_frames,
+            target_radius=mgdm_cfg.target_radius,
+            min_target_dist=mgdm_cfg.min_target_dist,
+            ddim_stride=mgdm_cfg.ddim_stride,
+            guidance_scale=mgdm_cfg.guidance_scale,
+            spawn_margin_cells=mgdm_cfg.spawn_margin_cells,
+            oob_z_low=mgdm_cfg.oob_z_low,
+            oob_z_high=mgdm_cfg.oob_z_high)
+        super().__init__(model, sim_params, env_cfg, pcfg, mdm, terrain)
         self.mcfg = mgdm_cfg
-        self.mdm = mdm
-        # host numpy leaves: the terrain is a closed-over constant of the
-        # jitted step/replan; device constants would stall remote lowering
-        self.terrain = jax.tree.map(np.asarray, terrain)
-        names = list(model.body_names)
-        self.key_body_ids = jnp.asarray(
-            [names.index(n) for n in env_cfg.key_bodies], jnp.int32)
 
-    # ------------------------------------------------------------------
-    def _ref_frame(self, ref: MGDMRefState):
-        """Current reference pose from the buffer."""
-        idx = jnp.clip(ref.frame_idx, 0, self.mcfg.plan_frames - 1)
-        f = ref.frames34[jnp.arange(ref.frames34.shape[0]), idx]
-        c = ref.contacts[jnp.arange(ref.contacts.shape[0]), idx]
-        return f, c
-
-    def _sample_targets(self, rng, root_xy):
-        ang = jax.random.uniform(rng, root_xy.shape[:-1]) * 2 * jnp.pi
-        rad = self.mcfg.min_target_dist + jax.random.uniform(
-            jax.random.fold_in(rng, 1), root_xy.shape[:-1]) * (
-                self.mcfg.target_radius - self.mcfg.min_target_dist)
-        tgt = root_xy + jnp.stack(
-            [jnp.cos(ang) * rad, jnp.sin(ang) * rad], axis=-1)
-        lo = self.terrain.min_point + 2 * self.terrain.dxdy
-        hi = self.terrain.max_point - 2 * self.terrain.dxdy
-        return jnp.clip(tgt, lo, hi)
-
-    # ------------------------------------------------------------------
-    def init_refs(self, rng: jax.Array, n: int) -> MGDMRefState:
-        """Standing references at random spawn points on the terrain."""
-        k_pos, k_tgt = jax.random.split(rng)
-        lo = self.terrain.min_point + 4 * self.terrain.dxdy
-        hi = self.terrain.max_point - 4 * self.terrain.dxdy
-        xy = lo + jax.random.uniform(k_pos, (n, 2)) * (hi - lo)
-        ground = terrain_lib.get_hf_val(self.terrain, xy)
-        t_len = self.mcfg.plan_frames
-        frames = jnp.zeros((n, t_len, 34))
-        frames = frames.at[..., 0:2].set(xy[:, None, :])
-        frames = frames.at[..., 2].set(ground[:, None] + 0.94)
-        contacts = jnp.zeros((n, t_len, self.model.num_bodies))
-        contacts = contacts.at[..., 11].set(1.0).at[..., 14].set(1.0)
-        return MGDMRefState(frames34=frames, contacts=contacts,
-                            frame_idx=jnp.zeros((n,), jnp.int32),
-                            target_xy=self._sample_targets(k_tgt, xy))
-
-    def replan(self, mdm_state: MDMState, ref: MGDMRefState,
-               rng: jax.Array) -> MGDMRefState:
-        """Synchronized batched replan: generate the next window for every
-        env from the last two reference frames."""
-        n = ref.frames34.shape[0]
-        k_gen, k_tgt = jax.random.split(rng)
-        prev = ref.frames34[:, -2:]
-        prev_c = ref.contacts[:, -2:]
-        new_frames, new_contacts = gen_lib.gen_mdm_motion(
-            self.mdm, mdm_state, k_gen, prev, prev_c, self.terrain,
-            ref.target_xy,
-            settings=gen_lib.GenSettings(
-                ddim_stride=self.mcfg.ddim_stride,
-                guidance_scale=self.mcfg.guidance_scale))
-        root_xy = new_frames[:, -1, 0:2]
-        # re-target envs that reached their goals
-        reached = (jnp.linalg.norm(ref.target_xy - root_xy, axis=-1)
-                   < 0.75)
-        new_targets = self._sample_targets(k_tgt, root_xy)
-        target_xy = jnp.where(reached[:, None], new_targets, ref.target_xy)
-        return MGDMRefState(
-            frames34=new_frames[:, :self.mcfg.plan_frames],
-            contacts=new_contacts[:, :self.mcfg.plan_frames],
-            frame_idx=jnp.zeros((n,), jnp.int32),
-            target_xy=target_xy)
-
-    # ------------------------------------------------------------------
-    def reset(self, ref: MGDMRefState, rng: jax.Array):
-        f, _ = self._ref_frame(ref)
-        root_pos = f[:, 0:3].at[:, 2].add(self.cfg.ref_height_buffer)
-        root_rot = rot.exp_map_to_quat(f[:, 3:6])
-        joint_rot = cm.dof_to_rot(self.model, f[:, 6:])
-        sim = engine.create_state(self.model, root_pos, root_rot, joint_rot)
-        return sim
-
-    def step(self, sim: engine.SimState, ref: MGDMRefState,
-             actions: jax.Array):
-        """One control step against the generated reference."""
-        cfg = self.cfg
-        sim = engine.control_step(
-            self.model, self.sim_params, self.terrain, sim, actions,
-            sim_steps=cfg.sim_steps_per_control)
-        ref = ref.replace(frame_idx=jnp.minimum(
-            ref.frame_idx + 1, self.mcfg.plan_frames - 1))
-
-        f, c = self._ref_frame(ref)
-        ref_root_pos = f[:, 0:3]
-        ref_root_rot = rot.exp_map_to_quat(f[:, 3:6])
-        ref_joint_rot = cm.dof_to_rot(self.model, f[:, 6:])
-
-        # reward: deepmimic pose/root terms against the generated frame
-        pose_diff = rot.quat_diff_angle(sim.joint_rot, ref_joint_rot)
-        pose_r = jnp.exp(-0.25 * jnp.sum(pose_diff**2, axis=-1)
-                         / max(self.model.num_bodies - 1, 1))
-        root_err = jnp.sum((ref_root_pos - sim.root_pos)**2, axis=-1)
-        root_rot_err = rot.quat_diff_angle(sim.root_rot, ref_root_rot)**2
-        root_r = jnp.exp(-5.0 * (root_err + 0.1 * root_rot_err))
-        reward = cfg.pose_w * pose_r + (cfg.root_pos_w + cfg.root_vel_w
-                                        + cfg.key_pos_w + cfg.vel_w) * root_r
-
-        # termination: OOB or large tracking divergence
-        z = sim.root_pos[..., 2]
-        ground = terrain_lib.get_hf_val(self.terrain, sim.root_pos[..., 0:2])
-        oob = ((z - ground < self.mcfg.oob_z_low)
-               | (z - ground > self.mcfg.oob_z_high))
-        diverged = root_err > cfg.root_pos_termination_dist**2 * 4
-        done = jnp.where(oob | diverged, DoneFlags.FAIL, DoneFlags.NULL)
-        return sim, ref, reward, done
-
-    def hard_reset_mask(self, sim: engine.SimState, ref: MGDMRefState,
-                        done: jax.Array):
-        """Masked reset of failed envs back onto their reference."""
-        need = done != DoneFlags.NULL
-        f, _ = self._ref_frame(ref)
-        root_pos = f[:, 0:3].at[:, 2].add(self.cfg.ref_height_buffer)
-        root_rot = rot.exp_map_to_quat(f[:, 3:6])
-        joint_rot = cm.dof_to_rot(self.model, f[:, 6:])
-        fresh = engine.create_state(self.model, root_pos, root_rot,
-                                    joint_rot)
-        return engine.where_state(need, fresh, sim)
+    def make_default_lib(self, mdm_state: MDMState,
+                         lib: Optional[ml.MotionLib] = None) -> ParkourLib:
+        """Bundle for a standalone mgdm run: mgdm uses no dataset motions,
+        so the MotionLib only exists to carry the terrain slot and
+        fail-rate machinery (a single zero-length standing clip)."""
+        if lib is None:
+            from parc_tpu.data.synthetic import standing_clip
+            lib = ml.build_motion_lib(self.model, [standing_clip()])
+        return self.make_lib(lib, mdm_state)

@@ -54,6 +54,10 @@ class ParkourConfig:
     ddim_stride: int = 20
     guidance_scale: float = 1.0
     spawn_margin_cells: int = 4
+    # out-of-bounds z termination for mgdm rows (generated references can
+    # wander; reference: mgdm_env.py:159-204)
+    oob_z_low: float = -3.0
+    oob_z_high: float = 6.0
 
 
 @struct.dataclass
@@ -309,6 +313,20 @@ class ParkourEnv(DeepMimicEnv):
             self.model, ref.root_pos, ref.root_rot, ref.joint_rot)
         reward, comps = self._compute_reward(state, ref, ref_body_pos)
         done = self._compute_done(lib, state, ref, ref_body_pos)
+        if nm > 0:
+            # OOB-z termination for mgdm rows (reference:
+            # mgdm_env.py:159-204) — generated references can wander off
+            # the terrain; kill envs far below/above the local ground
+            z = sim.root_pos[self.n_dm:, 2]
+            ground = terrain_lib.get_hf_val(
+                jax.tree.map(jnp.asarray, self.mgdm_terrain),
+                sim.root_pos[self.n_dm:, 0:2])
+            oob = ((z - ground < self.pcfg.oob_z_low)
+                   | (z - ground > self.pcfg.oob_z_high))
+            mg_done = jnp.where(
+                oob & (done[self.n_dm:] == DoneFlags.NULL),
+                DoneFlags.FAIL, done[self.n_dm:])
+            done = done.at[self.n_dm:].set(mg_done)
         track_err = self._tracking_error(state, ref, ref_body_pos,
                                          ref_body_rot)
 

@@ -290,6 +290,10 @@ class PPOAgent:
         val_min = cfg.reward_min / (1.0 - cfg.discount)
         val_max = cfg.reward_max / (1.0 - cfg.discount)
         next_vals = jnp.clip(next_vals, val_min, val_max)
+        # SUCC bootstrap kept for parity with the reference's value targets
+        # (learning/base_agent.py:408-422).  NOTE: like the reference, no
+        # shipped env emits DoneFlags.SUCC (reference envs only *handle* it,
+        # dm_env.py:768); the branch is live for custom envs that do.
         next_vals = jnp.where(batch["done"] == DoneFlags.SUCC,
                               cfg.reward_succ / (1.0 - cfg.discount),
                               next_vals)

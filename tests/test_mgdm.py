@@ -1,4 +1,9 @@
-"""MGDM (MDM-in-the-loop) env tests."""
+"""MGDM (MDM-in-the-loop) env tests.
+
+MGDMEnv is a thin alias of ParkourEnv with mgdm_num = num_envs (single
+implementation of replan/spawn/target logic); these tests drive the
+standalone generated-reference configuration end to end.
+"""
 
 import numpy as np
 import jax
@@ -9,8 +14,9 @@ from parc_tpu.data.humanoid import humanoid_spec
 from parc_tpu.diffusion.mdm import MDM, MDMConfig
 from parc_tpu.anim import motion_lib as ml
 from parc_tpu.data.synthetic import walking_clip
-from parc_tpu.envs.base import EnvConfig
+from parc_tpu.envs.base import DoneFlags, EnvConfig
 from parc_tpu.envs.mgdm import MGDMConfig, MGDMEnv, make_platform_terrain
+from parc_tpu.envs.parkour import ParkourEnv
 from parc_tpu.physics import engine
 
 
@@ -23,37 +29,56 @@ def setup():
     mdm_state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=64)
     terrain = make_platform_terrain(np.random.default_rng(0), dim=32)
     env = MGDMEnv(model, engine.SimParams(), EnvConfig(num_envs=4),
-                  MGDMConfig(num_envs=4, ddim_stride=5), mdm, terrain)
-    return env, mdm_state
+                  MGDMConfig(ddim_stride=5, plan_frames=4), mdm, terrain)
+    bundle = env.make_default_lib(mdm_state)
+    return env, bundle
+
+
+def test_mgdm_is_parkour_alias(setup):
+    """One implementation: MGDMEnv is ParkourEnv with all envs mgdm."""
+    env, bundle = setup
+    assert isinstance(env, ParkourEnv)
+    assert env.n_dm == 0
+    assert env.pcfg.mgdm_num == env.cfg.num_envs
 
 
 def test_init_and_replan(setup):
-    env, mdm_state = setup
-    refs = env.init_refs(jax.random.PRNGKey(1), 4)
-    assert refs.frames34.shape == (4, env.mcfg.plan_frames, 34)
-    refs2 = jax.jit(lambda r, k: env.replan(mdm_state, r, k))(
-        refs, jax.random.PRNGKey(2))
-    assert refs2.frames34.shape == refs.frames34.shape
-    assert np.all(np.isfinite(np.asarray(refs2.frames34)))
-    assert np.all(np.asarray(refs2.frame_idx) == 0)
+    env, bundle = setup
+    state = env.reset(bundle, jax.random.PRNGKey(1))
+    assert state.ref_frames34.shape == (4, env.pcfg.plan_frames, 34)
+    assert np.all(np.isfinite(np.asarray(state.obs)))
+    # every env is pinned to the terrain slot
+    slot = bundle.lib.num_motions - 1
+    assert np.all(np.asarray(state.motion_ids) == slot)
 
 
 def test_step_cycle_with_replan(setup):
-    """Full mgdm loop: steps between synchronized replans stay finite."""
-    env, mdm_state = setup
-    rng = jax.random.PRNGKey(3)
-    refs = env.init_refs(rng, 4)
-    sim = env.reset(refs, rng)
-    step = jax.jit(lambda s, r, a: env.step(s, r, a))
-    replan = jax.jit(lambda ms, r, k: env.replan(ms, r, k))
+    """Full mgdm loop: the synchronized replan fires inside the jitted
+    step (lax.cond on the shared timer) and rewrites the window buffer."""
+    env, bundle = setup
+    state = env.reset(bundle, jax.random.PRNGKey(3))
+    step = jax.jit(lambda b, s, a: env.step(b, s, a))
     actions = jnp.zeros((4, env.model.dof_size))
 
-    for cycle in range(2):
-        for _ in range(env.mcfg.plan_frames):
-            sim, refs, reward, done = step(sim, refs, actions)
-            sim = env.hard_reset_mask(sim, refs, done)
-        rng, k = jax.random.split(rng)
-        refs = replan(mdm_state, refs, k)
-    assert np.all(np.isfinite(np.asarray(sim.root_pos)))
-    assert np.all(np.isfinite(np.asarray(reward)))
-    assert reward.shape == (4,)
+    frames_before = np.asarray(state.ref_frames34)
+    replanned = False
+    for _ in range(2 * env.pcfg.plan_frames + 1):
+        state = step(bundle, state, actions)
+        if not np.allclose(np.asarray(state.ref_frames34), frames_before):
+            replanned = True
+    assert replanned, "synchronized replan never fired"
+    assert np.all(np.isfinite(np.asarray(state.sim.root_pos)))
+    assert np.all(np.isfinite(np.asarray(state.reward)))
+    assert state.reward.shape == (4,)
+
+
+def test_oob_termination(setup):
+    """OOB-z termination for mgdm rows (reference: mgdm_env.py:159-204)."""
+    env, bundle = setup
+    state = env.reset(bundle, jax.random.PRNGKey(4))
+    # teleport env 0 far below the terrain; step once
+    sim = state.sim
+    root_pos = sim.root_pos.at[0, 2].add(-50.0)
+    state = state.replace(sim=sim.replace(root_pos=root_pos))
+    out = env.step(bundle, state, jnp.zeros((4, env.model.dof_size)))
+    assert int(out.done[0]) == DoneFlags.FAIL
