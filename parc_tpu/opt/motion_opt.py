@@ -18,6 +18,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 
 from parc_tpu.anim import char_model as cm
 from parc_tpu.utils import rotation as rot
@@ -36,9 +37,183 @@ class MotionOptConfig:
     w_penetration: float = 10.0
     w_contact: float = 5.0
     w_slide: float = 2.0
+    # strong relative to the source losses, like the reference's 1000:1
+    # w_body_constraints:w_root_pos ratio (kin_gen_default.yaml opt:)
+    w_body_constraint: float = 20.0
     w_jerk: float = 1e-6
     jerk_clamp: float = 11666.0
     contact_eps: float = 0.03
+    # auto-estimated contact-run constraints (reference:
+    # motion_optimization.py:34-181, kin_gen_default.yaml
+    # auto_compute_body_constraints)
+    auto_body_constraints: bool = True
+    max_constraints: int = 32
+
+
+@struct.dataclass
+class BodyConstraints:
+    """Fixed-shape per-contact-run constraints: during frames
+    [start, end], body ``body_id`` is pinned near ``point`` (a terrain-
+    surface-projected average contact location).  Padded to a static K
+    with ``valid`` flags so the pytree is jittable.
+
+    Reference parity: tools/motion_opt/motion_optimization.py:34-181
+    (BodyConstraint list per body) + the BODY_CONSTRAINT_LOSS application
+    (:286-330, sphere |sd| pin / box clamp(sd, min=0)).
+    """
+
+    body_ids: jnp.ndarray   # (K,) int32
+    starts: jnp.ndarray     # (K,) int32
+    ends: jnp.ndarray       # (K,) int32
+    points: jnp.ndarray     # (K, 3)
+    offsets: jnp.ndarray    # (K, 3) body-frame geom-center offset
+    radius: jnp.ndarray     # (K,)
+    pin: jnp.ndarray        # (K,) 1.0 = |sd| pin (sphere), 0.0 = clamp-only
+    valid: jnp.ndarray      # (K,) bool
+
+    @property
+    def num_valid(self) -> int:
+        import numpy as _np
+        return int(_np.asarray(self.valid).sum())
+
+
+def _consecutive_runs(mask) -> list:
+    """[(start, end)] inclusive index ranges of consecutive True runs."""
+    import numpy as np
+    idx = np.nonzero(np.asarray(mask))[0]
+    if len(idx) == 0:
+        return []
+    breaks = np.nonzero(np.diff(idx) > 1)[0]
+    starts = np.concatenate([[idx[0]], idx[breaks + 1]])
+    ends = np.concatenate([idx[breaks], [idx[-1]]])
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def compute_approx_body_constraints(model: cm.CharModel,
+                                    terrain: terrain_lib.Terrain,
+                                    frames34: jax.Array,
+                                    contacts: jax.Array,
+                                    cfg: MotionOptConfig = MotionOptConfig(),
+                                    contact_threshold: float = 0.9,
+                                    project_iters: int = 300,
+                                    project_lr: float = 0.01
+                                    ) -> BodyConstraints:
+    """Estimate contact-run constraints from tagged contacts.
+
+    Per end-effector body (feet/hands): consecutive contact runs become one
+    constraint each, anchored at the run-average body-center position and
+    projected onto the terrain surface by minimizing sdf^2 (batched jitted
+    SGD — the reference runs 1000 host SGD steps per point,
+    motion_optimization.py:93-116).
+    """
+    import numpy as np
+    frames34 = jnp.asarray(frames34)
+    root_rot = rot.exp_map_to_quat(frames34[..., 3:6])
+    joint_rot = cm.dof_to_rot(model, frames34[..., 6:])
+    body_pos, body_rot = cm.forward_kinematics(
+        model, frames34[..., 0:3], root_rot, joint_rot)
+
+    # per-body effective contact radius + mean contact-point offset from
+    # the body's contact-point cloud
+    nb = model.num_bodies
+    cpb = np.asarray(model.contact_point_body)
+    cpo = np.asarray(model.contact_point_offset)
+    cpr = np.asarray(model.contact_point_radius)
+    eff_radius = np.zeros(nb, np.float32)
+    mean_off = np.zeros((nb, 3), np.float32)
+    n_pts = np.zeros(nb, np.int64)
+    for b in range(nb):
+        sel = cpb == b
+        if sel.any():
+            eff_radius[b] = float(
+                (np.linalg.norm(cpo[sel], axis=-1) + cpr[sel]).max())
+            mean_off[b] = cpo[sel].mean(0)
+            n_pts[b] = int(sel.sum())
+
+    targets = [i for i, n in enumerate(model.body_names)
+               if ("foot" in n or "hand" in n) and n_pts[i] > 0]
+    centers = np.asarray(
+        body_pos + rot.quat_rotate(body_rot,
+                                   jnp.broadcast_to(jnp.asarray(mean_off),
+                                                    body_pos.shape)))
+    contacts_np = np.asarray(contacts)
+
+    rows = []
+    for b in targets:
+        for s, e in _consecutive_runs(contacts_np[:, b] > contact_threshold):
+            rows.append((b, s, e, centers[s:e + 1, b].mean(0),
+                         eff_radius[b], 1.0 if n_pts[b] == 1 else 0.0))
+    k = cfg.max_constraints
+    rows = rows[:k]
+    body_ids = np.zeros(k, np.int32)
+    starts = np.zeros(k, np.int32)
+    ends = np.full(k, -1, np.int32)
+    points = np.zeros((k, 3), np.float32)
+    offsets = np.zeros((k, 3), np.float32)
+    radius = np.ones(k, np.float32)
+    pin = np.zeros(k, np.float32)
+    valid = np.zeros(k, bool)
+    for i, (b, s, e, p, r, pin_i) in enumerate(rows):
+        body_ids[i] = b
+        starts[i] = s
+        ends[i] = e
+        points[i] = p
+        offsets[i] = mean_off[b]
+        radius[i] = r
+        pin[i] = pin_i
+        valid[i] = True
+
+    # project all constraint points onto the terrain surface at once
+    if rows:
+        @jax.jit
+        def project(points):
+            def step(pts, _):
+                g = jax.grad(lambda p: jnp.sum(
+                    terrain_lib.terrain_sdf(terrain, p, inverted=False)**2)
+                )(pts)
+                return pts - project_lr * g, None
+            pts, _ = jax.lax.scan(step, points, None, length=project_iters)
+            return pts
+        points = np.asarray(project(jnp.asarray(points)))
+
+    return BodyConstraints(
+        body_ids=jnp.asarray(body_ids), starts=jnp.asarray(starts),
+        ends=jnp.asarray(ends), points=jnp.asarray(points),
+        offsets=jnp.asarray(offsets), radius=jnp.asarray(radius),
+        pin=jnp.asarray(pin), valid=jnp.asarray(valid))
+
+
+def body_constraint_loss(cfg: MotionOptConfig, bc: BodyConstraints,
+                         body_pos: jax.Array,
+                         body_rot: jax.Array) -> jax.Array:
+    """Mean constraint violation; body_pos/rot (T, J, 3)/(T, J, 4)."""
+    t_len = body_pos.shape[0]
+    t_idx = jnp.arange(t_len)[:, None]                       # (T, 1)
+    active = ((t_idx >= bc.starts[None]) & (t_idx <= bc.ends[None])
+              & bc.valid[None])                              # (T, K)
+    pos = (body_pos[:, bc.body_ids]
+           + rot.quat_rotate(body_rot[:, bc.body_ids],
+                             jnp.broadcast_to(bc.offsets[None],
+                                              body_pos[:, bc.body_ids].shape))
+           )                                                  # (T, K, 3)
+    diff = pos - bc.points[None]
+    # sqrt(sum^2 + eps): gradient finite at zero distance
+    dist = jnp.sqrt(jnp.sum(diff**2, axis=-1) + 1e-12)
+    sd = dist - bc.radius
+    per = jnp.where(bc.pin[None] > 0.5, jnp.abs(sd), jnp.maximum(sd, 0.0))
+    return jnp.sum(jnp.where(active, per, 0.0)) / t_len
+
+
+def constraint_slide_mask(bc: BodyConstraints, t_len: int,
+                          num_bodies: int) -> jax.Array:
+    """(T, J) True where a body constraint overrides the sliding loss
+    (reference: motion_optimization.py:330 nulls sliding during
+    constrained frames — the constraint pins the body instead)."""
+    t_idx = jnp.arange(t_len)[:, None]
+    active = ((t_idx >= bc.starts[None]) & (t_idx <= bc.ends[None])
+              & bc.valid[None])                              # (T, K)
+    onehot = jax.nn.one_hot(bc.body_ids, num_bodies)         # (K, J)
+    return jnp.einsum("tk,kj->tj", active.astype(jnp.float32), onehot) > 0
 
 
 def _body_points(model: cm.CharModel, frames34: jax.Array):
@@ -52,12 +227,13 @@ def _body_points(model: cm.CharModel, frames34: jax.Array):
            + rot.quat_rotate(body_rot[..., bidx, :],
                              jnp.broadcast_to(model.contact_point_offset,
                                               body_pos[..., bidx, :].shape)))
-    return pts, body_pos
+    return pts, body_pos, body_rot
 
 
 def motion_opt_loss(model: cm.CharModel, cfg: MotionOptConfig,
                     terrain: terrain_lib.Terrain, frames34: jax.Array,
-                    source34: jax.Array, contacts: jax.Array
+                    source34: jax.Array, contacts: jax.Array,
+                    constraints: "BodyConstraints" = None
                     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Total loss for a (T, 34) motion on its terrain."""
     losses = {}
@@ -72,7 +248,7 @@ def motion_opt_loss(model: cm.CharModel, cfg: MotionOptConfig,
         + frames34[..., :-2, :]
     losses["smooth"] = cfg.w_smooth * jnp.mean(acc**2)
 
-    pts, body_pos = _body_points(model, frames34)
+    pts, body_pos, body_rot = _body_points(model, frames34)
     ground = terrain_lib.get_hf_val_bilinear(terrain, pts[..., 0:2])
     h_above = pts[..., 2] - model.contact_point_radius - ground
 
@@ -95,10 +271,21 @@ def motion_opt_loss(model: cm.CharModel, cfg: MotionOptConfig,
     vel = (pts[1:] - pts[:-1]) * cfg.fps
     pt_tagged = (tagged[..., model.contact_point_body]
                  & (h_above < cfg.contact_eps))[:-1]
+    if constraints is not None:
+        # a body constraint pins the body at a fixed point — it overrides
+        # (nulls) the competing sliding loss during constrained frames
+        # (reference: motion_optimization.py:330)
+        cmask = constraint_slide_mask(constraints, frames34.shape[0],
+                                      model.num_bodies)
+        pt_tagged = pt_tagged & ~cmask[:-1, model.contact_point_body]
     slide = jnp.where(pt_tagged,
                       jnp.sum(vel[..., 0:2]**2, axis=-1), 0.0)
     losses["slide"] = cfg.w_slide * jnp.mean(
         jnp.sqrt(slide + 1e-6) - 1e-3)
+
+    if constraints is not None:
+        losses["body_constraint"] = cfg.w_body_constraint * \
+            body_constraint_loss(cfg, constraints, body_pos, body_rot)
 
     # jerk clamp on body positions.  NOT jnp.linalg.norm: its gradient at
     # exactly zero is NaN, and a perfectly static motion has zero jerk —
@@ -117,24 +304,34 @@ def motion_opt_loss(model: cm.CharModel, cfg: MotionOptConfig,
 def motion_contact_optimization(model: cm.CharModel,
                                 terrain: terrain_lib.Terrain,
                                 frames34: jax.Array, contacts: jax.Array,
-                                cfg: MotionOptConfig = MotionOptConfig()):
+                                cfg: MotionOptConfig = MotionOptConfig(),
+                                constraints: "BodyConstraints" = None):
     """Optimize a (T, 34) motion; returns (optimized frames, final losses).
 
     The full Adam loop runs inside one jit (``lax.scan`` over iterations).
+    With ``cfg.auto_body_constraints`` (default, reference
+    kin_gen_default.yaml auto_compute_body_constraints) contact-run
+    constraints are estimated from the tagged contacts first.
     """
     source = frames34
     tx = optax.adam(cfg.lr)
+    if constraints is None and cfg.auto_body_constraints \
+            and cfg.w_body_constraint > 0:
+        constraints = compute_approx_body_constraints(
+            model, terrain, frames34, contacts, cfg)
 
-    def loss_fn(x):
-        return motion_opt_loss(model, cfg, terrain, x, source, contacts)
+    def loss_fn(x, bc):
+        return motion_opt_loss(model, cfg, terrain, x, source, contacts,
+                               constraints=bc)
 
     @jax.jit
-    def run(x0):
+    def run(x0, bc):
         opt_state = tx.init(x0)
 
         def step(carry, _):
             x, opt = carry
-            (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(x)
+            (total, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(x, bc)
             updates, opt = tx.update(grads, opt, x)
             x = optax.apply_updates(x, updates)
             return (x, opt), total
@@ -143,6 +340,6 @@ def motion_contact_optimization(model: cm.CharModel,
                                       length=cfg.iters)
         return x, totals
 
-    x, totals = run(frames34)
-    _, final_losses = jax.jit(loss_fn)(x)
+    x, totals = run(frames34, constraints)
+    _, final_losses = jax.jit(loss_fn)(x, constraints)
     return x, {k: float(v) for k, v in final_losses.items()}

@@ -51,8 +51,12 @@ class AugmentConfig:
     box_max_len: float = 8.0
     terrain_padding: int = 0
     slice_terrain: bool = False
+    # augmentation re-optimizes against a *new* terrain — the original
+    # contact-run constraints no longer apply (reference:
+    # augment_motions.py:225-226 passes w_body_constraints=0)
     opt_cfg: motion_opt.MotionOptConfig = dataclasses.field(
-        default_factory=lambda: motion_opt.MotionOptConfig(iters=1000))
+        default_factory=lambda: motion_opt.MotionOptConfig(
+            iters=1000, auto_body_constraints=False))
 
 
 def _transform_frames(cfg: AugmentConfig, rng: np.random.Generator,

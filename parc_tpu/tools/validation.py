@@ -94,6 +94,29 @@ def run_validation(mdm: MDM, state: MDMState,
     return rows
 
 
+def sweep_checkpoints(mdm: MDM, state_like: MDMState, ckpt_dir: str,
+                      fixtures: Sequence[ValidationFixture],
+                      output_dir: Optional[str] = None,
+                      **kwargs) -> List[Dict]:
+    """Run the validation harness on EVERY retained checkpoint (reference:
+    tools/motion_tests/compute_losses.py sweeps model_{epoch} history).
+
+    Returns the per-rollout metric rows tagged with their checkpoint step;
+    pair with :func:`summarize` per step for a loss-vs-epoch table."""
+    from parc_tpu.utils import checkpoint as ckpt_lib
+    rows: List[Dict] = []
+    for step in ckpt_lib.all_steps(ckpt_dir):
+        state = ckpt_lib.restore(ckpt_dir, state_like, step=step)
+        out = (os.path.join(output_dir, f"ckpt_{step:010d}")
+               if output_dir else None)
+        step_rows = run_validation(mdm, state, fixtures, output_dir=out,
+                                   **kwargs)
+        for r in step_rows:
+            r["checkpoint"] = step
+        rows.extend(step_rows)
+    return rows
+
+
 def summarize(rows: List[Dict]) -> Dict[str, float]:
     """Mean/std summary over all validation rows (reference CSV columns)."""
     out = {}

@@ -8,7 +8,7 @@ import pytest
 from parc_tpu.anim import char_model as cm
 from parc_tpu.anim import motion_edit
 from parc_tpu.data.humanoid import humanoid_spec
-from parc_tpu.data.synthetic import walking_clip
+from parc_tpu.data.synthetic import standing_clip, walking_clip
 from parc_tpu.procgen import astar
 from parc_tpu.utils import terrain as terrain_lib
 from parc_tpu.utils import rotation as rot
@@ -155,6 +155,69 @@ def test_motion_opt_reduces_penetration(model):
         model, terrain, frames, jnp.asarray(clip.contacts), cfg)
     assert losses["penetration"] < losses0["penetration"] * 0.5
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_motion_opt_body_constraints(model):
+    """Contact-run body constraints (reference:
+    motion_optimization.py:34-181): constraints are estimated per
+    consecutive contact run, projected onto the terrain surface, and
+    pin the body during the run — less foot drift than without."""
+    from parc_tpu.opt import motion_opt as mo
+
+    terrain = terrain_lib.create_terrain(24, 24, dx=0.4, min_x=-4.8,
+                                         min_y=-4.8)
+    # standing pose drifting 50 cm while the feet hover slightly above
+    # contact_eps during tagged contacts: the sliding loss is blind here
+    # (it gates on h_above < eps) — exactly the thin-ledge failure mode
+    # the contact-run constraints fix
+    t_len = 24
+    frames = np.tile(standing_clip().frames[0], (t_len, 1)).astype(np.float32)
+    frames[:, 0] += np.linspace(0.0, 0.5, t_len)   # root drift
+    frames[:, 2] += 0.05                           # feet hover ~5 cm
+    contacts = np.zeros((t_len, model.num_bodies), np.float32)
+    lf = model.body_names.index("left_foot")
+    rf = model.body_names.index("right_foot")
+    contacts[2:20, lf] = 1.0
+    contacts[:, rf] = 1.0
+
+    cfg = mo.MotionOptConfig(iters=200)
+    bc = mo.compute_approx_body_constraints(
+        model, terrain, jnp.asarray(frames), jnp.asarray(contacts), cfg)
+    assert bc.num_valid == 2                      # one run per foot
+    valid = np.asarray(bc.valid)
+    ids = np.asarray(bc.body_ids)[valid]
+    assert set(ids.tolist()) == {lf, rf}
+    se = list(zip(np.asarray(bc.starts)[valid].tolist(),
+                  np.asarray(bc.ends)[valid].tolist()))
+    assert (2, 19) in se and (0, t_len - 1) in se
+    # projected constraint points sit on the terrain surface
+    sd = np.asarray(terrain_lib.terrain_sdf(
+        terrain, bc.points[valid], inverted=False))
+    assert np.all(np.abs(sd) < 0.05)
+
+    def foot_drift(frames34):
+        from parc_tpu.anim import char_model as cmod
+        from parc_tpu.utils import rotation as rotl
+        rr = rotl.exp_map_to_quat(jnp.asarray(frames34)[:, 3:6])
+        jr = cmod.dof_to_rot(model, jnp.asarray(frames34)[:, 6:])
+        bp, _ = cmod.forward_kinematics(model, jnp.asarray(frames34)[:, 0:3],
+                                        rr, jr)
+        p = np.asarray(bp[2:20, lf, 0:2])
+        return float(np.linalg.norm(p.max(0) - p.min(0)))
+
+    out_c, losses_c = mo.motion_contact_optimization(
+        model, terrain, jnp.asarray(frames), jnp.asarray(contacts), cfg,
+        constraints=bc)
+    cfg_nc = mo.MotionOptConfig(iters=200, auto_body_constraints=False)
+    out_n, _ = mo.motion_contact_optimization(
+        model, terrain, jnp.asarray(frames), jnp.asarray(contacts), cfg_nc)
+    assert "body_constraint" in losses_c
+    drift_c, drift_n = foot_drift(out_c), foot_drift(out_n)
+    rmax = float(np.asarray(bc.radius)[valid].max())
+    assert drift_n > 0.3                 # unconstrained foot follows source
+    assert drift_c < drift_n             # constraint bounds the drift...
+    assert drift_c < 2.0 * rmax + 0.1    # ...to the constraint ball
+    assert np.all(np.isfinite(np.asarray(out_c)))
 
 
 # ---------------------------------------------------------------------------
@@ -345,6 +408,74 @@ def test_procgen_courses_and_control_modes():
     cave = T.generate_cave(rng)
     frac = float((np.asarray(cave.hf) > 0).mean())
     assert 0.05 < frac < 0.7
+
+    # randomized vault/gap course: stations span full width, heights are
+    # exactly the vault/gap values, spacing within [min,max] block spacing
+    rc = T.random_linear_parkour_course(rng, x_dim=80, dx=0.4,
+                                        gap_height=-1.5, vault_height=1.0)
+    hf = np.asarray(rc.hf)
+    assert hf.shape == (80, 16)
+    station_rows = np.nonzero(np.abs(hf[:, 0]) > 1e-6)[0]
+    assert len(station_rows) > 0
+    for r in station_rows:
+        assert np.all(hf[r] == hf[r, 0])          # full-width blocks
+        assert hf[r, 0] in (-1.5, 1.0)
+    heights = {hf[r, 0] for r in station_rows}
+    assert len(heights) >= 1
+
+
+def test_hf_from_motion_and_jump_carving():
+    """hf_from_motion path terrain + jump-gap augmentation bounds
+    (reference: util/terrain_util.py:597-700, :2017-2047)."""
+    import jax.numpy as jnp
+    from parc_tpu.utils import terrain as T
+
+    # synthetic "motion": one contact point walking along +x at ground
+    # level, jumping (z=1.2, well above jump_buf) over a long middle
+    # stretch (wide enough to survive the 3x3 mask spread)
+    tsteps = 60
+    x = np.linspace(0.0, 6.0, tsteps)
+    z = np.where((x > 2.0) & (x < 4.8), 1.2, 0.0)
+    body_pos = np.stack([x, np.zeros(tsteps), z], -1)[:, None, :]  # (T,1,3)
+
+    t = T.hf_from_motion(body_pos, dx=0.4, min_height=-2.0,
+                         ground_height=0.0)
+    hf = np.asarray(t.hf)
+    mask = np.asarray(t.hf_mask)
+    assert mask.any()
+    assert np.all(hf[mask] == 0.0)       # path carved at ground height
+    assert np.all(hf[~mask] == -2.0)     # low floor elsewhere
+
+    # per-frame floor heights variant
+    t2 = T.hf_from_motion(body_pos, dx=0.4,
+                          floor_heights=np.linspace(0.0, 0.5, tsteps))
+    hf2 = np.asarray(t2.hf)
+    assert hf2[np.asarray(t2.hf_mask)].max() > 0.0
+
+    # jump carving: cells under the jump may be carved down (hmin goes to
+    # the global min), but their hmax stays below the flight path
+    t3 = T.compute_hf_maxmin(t, jnp.asarray(body_pos))
+    mm = np.asarray(t3.hf_maxmin)
+    mask3 = np.asarray(t3.hf_mask)
+    ij = np.round((body_pos[:, 0, 0:2] - np.asarray(t.min_point))
+                  / np.asarray(t.dxdy)).astype(int)
+    jump_cells = ij[(x > 2.8) & (x < 4.0)]
+    for i, j in jump_cells:
+        assert mm[i, j, 1] < -2.0 + 1e-5          # can carve a gap
+        assert mm[i, j, 0] <= 1.2 - 0.8 + 1e-5    # not into flight path
+    # grounded path cells stay pinned
+    walk_cells = ij[x < 1.5]
+    for i, j in walk_cells:
+        assert mask3[i, j]
+        assert abs(mm[i, j, 0] - hf[i, j]) < 0.1
+
+
+def test_control_modes():
+    """All five actuation modes produce finite torques; pd_1d == pd_exp on
+    an all-hinge character; torque mode clamps to motor effort."""
+    import jax.numpy as jnp
+    from parc_tpu.physics import engine
+    from parc_tpu.data.humanoid import humanoid_spec
 
     model = humanoid_spec().build()
     state = engine.create_state(
