@@ -32,6 +32,19 @@ from parc_tpu.diffusion.transformer import MDMTransformer
 from parc_tpu.utils import rotation as rot
 
 
+def _rbg_key(k: jax.Array) -> jax.Array:
+    """Re-key any PRNG key (typed or raw uint32, any impl/word-count) onto
+    the TPU-native ``rbg`` impl, whose 4-word state is cheap to expand into
+    the ~600M dropout bits a denoiser forward consumes."""
+    if jnp.issubdtype(jnp.asarray(k).dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(k)
+    else:
+        data = jnp.asarray(k, jnp.uint32)
+    data = data.reshape(-1)
+    reps = -(-4 // data.shape[0])  # ceil division
+    return jax.random.wrap_key_data(jnp.tile(data, reps)[:4], impl="rbg")
+
+
 @dataclasses.dataclass(frozen=True)
 class MDMConfig:
     diffusion_timesteps: int = 1001
@@ -111,10 +124,20 @@ class MDM:
 
     # ------------------------------------------------------------------
     def init(self, lib: ml.MotionLib, rng: jax.Array,
-             stats_samples: int = 4096) -> MDMState:
+             stats_samples: Optional[int] = None) -> MDMState:
+        """Init params + dataset feature statistics.
+
+        ``stats_samples=None`` (default) computes the EXACT per-window
+        mean/std over every window of every motion (reference:
+        diffusion/mdm.py:480-548); pass an int for the fast Monte-Carlo
+        estimate (tests / throwaway inits)."""
         k_stats, k_net, k_state = jax.random.split(rng, 3)
-        mean, std = sampler_lib.compute_feature_stats(
-            self.model, self.scfg, lib, k_stats, stats_samples)
+        if stats_samples is None:
+            mean, std = sampler_lib.compute_feature_stats_exact(
+                self.model, self.scfg, lib)
+        else:
+            mean, std = sampler_lib.compute_feature_stats(
+                self.model, self.scfg, lib, k_stats, stats_samples)
         scfg = self.scfg
         dummy = dict(
             x_t=jnp.zeros((1, scfg.seq_len, self.frame_dim)),
@@ -263,9 +286,7 @@ class MDM:
         # denoiser forward).  The TPU-native rbg generator is ~free, and
         # dropout only needs statistical (not cryptographic/portable)
         # bits — so re-key the dropout stream onto rbg.
-        k_drop = jax.random.wrap_key_data(
-            jnp.tile(jax.random.key_data(jax.random.wrap_key_data(k_drop)),
-                     2), impl="rbg")
+        k_drop = _rbg_key(k_drop)
         pred = self.net.apply(
             params, x_t, t, prev_in, hf, target_dir,
             hf_mask=hf_mask.astype(jnp.float32),

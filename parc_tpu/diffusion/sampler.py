@@ -201,6 +201,30 @@ def _augment_hf(cfg: SamplerConfig, rng, hf, hf_max, hf_min):
     return hf
 
 
+def window_features(model: cm.CharModel, cfg: SamplerConfig,
+                    lib: ml.MotionLib, motion_ids: jax.Array,
+                    t0: jax.Array):
+    """Deterministic canonicalized window features at given start times.
+
+    Returns ((B, total_frames, frame_dim) features, (canon_xy, canon_z,
+    canon_heading)). Shared by the stochastic training sampler and the
+    exact whole-dataset statistics pass."""
+    dt = 1.0 / cfg.fps
+    total = cfg.total_frames
+    offsets = jnp.arange(total) * dt  # (T,)
+    times = t0[:, None] + offsets[None, :]
+    ids = jnp.broadcast_to(motion_ids[:, None], times.shape)
+    frame = ml.calc_motion_frame(lib, ids, times)
+
+    # canonical frame: last prev state (index num_prev-1)
+    ci = cfg.num_prev_states - 1
+    canon_xy = frame.root_pos[:, ci, 0:2]
+    canon_z = frame.root_pos[:, ci, 2]
+    canon_heading = rot.calc_heading(frame.root_rot[:, ci])
+    feats = _features(model, frame, canon_xy, canon_z, -canon_heading)
+    return feats, (canon_xy, canon_z, canon_heading)
+
+
 def sample_batch(model: cm.CharModel, cfg: SamplerConfig, lib: ml.MotionLib,
                  rng: jax.Array, batch_size: int,
                  augment: bool = True) -> WindowBatch:
@@ -215,17 +239,8 @@ def sample_batch(model: cm.CharModel, cfg: SamplerConfig, lib: ml.MotionLib,
     max_start = jnp.maximum(lib.lengths[motion_ids] - window_dur, 0.0)
     t0 = jax.random.uniform(k_t, (batch_size,)) * max_start
 
-    offsets = jnp.arange(total) * dt  # (T,)
-    times = t0[:, None] + offsets[None, :]
-    ids = jnp.broadcast_to(motion_ids[:, None], times.shape)
-    frame = ml.calc_motion_frame(lib, ids, times)
-
-    # canonical frame: last prev state (index num_prev-1)
-    ci = cfg.num_prev_states - 1
-    canon_xy = frame.root_pos[:, ci, 0:2]
-    canon_z = frame.root_pos[:, ci, 2]
-    canon_heading = rot.calc_heading(frame.root_rot[:, ci])
-    feats = _features(model, frame, canon_xy, canon_z, -canon_heading)
+    feats, (canon_xy, canon_z, canon_heading) = window_features(
+        model, cfg, lib, motion_ids, t0)
 
     prev_states = feats[:, :cfg.num_prev_states]
     frames = feats[:, cfg.num_prev_states:]
@@ -262,13 +277,69 @@ def sample_batch(model: cm.CharModel, cfg: SamplerConfig, lib: ml.MotionLib,
 def compute_feature_stats(model: cm.CharModel, cfg: SamplerConfig,
                           lib: ml.MotionLib, rng: jax.Array,
                           num_samples: int = 4096):
-    """Per-frame-slot mean/std over sampled windows (reference computes the
-    same statistics over every window of every motion, diffusion/mdm.py:
-    480-548; a large uniform sample converges to the same values)."""
+    """Per-frame-slot mean/std over sampled windows — fast Monte-Carlo
+    variant for tests/tiny runs; training uses the exact pass below."""
     batch = sample_batch(model, cfg, lib, rng, num_samples, augment=False)
     x = jnp.concatenate([batch.prev_states, batch.frames], axis=1)
     mean = jnp.mean(x, axis=0)
     std = jnp.maximum(jnp.std(x, axis=0), 1e-3)
+    return mean, std  # (total_frames, frame_dim)
+
+
+def compute_feature_stats_exact(model: cm.CharModel, cfg: SamplerConfig,
+                                lib: ml.MotionLib, chunk: int = 8192):
+    """EXACT per-frame-slot mean/std over every window of every motion
+    (reference: diffusion/mdm.py:480-548) — deterministic, no run-to-run
+    standardization jitter.
+
+    Windows start on the uniform dt = 1/cfg.fps grid; each motion with
+    length L contributes floor((L - window_dur)/dt) + 1 windows (min 1).
+    Accumulated in jitted fixed-size chunks (weighted so padding rows do
+    not contribute).
+    """
+    import numpy as np
+    dt = 1.0 / cfg.fps
+    window_dur = (cfg.total_frames - 1) * dt
+    lengths = np.asarray(lib.lengths)
+    counts = np.maximum(
+        np.floor((lengths - window_dur) / dt + 1e-6).astype(np.int64) + 1, 1)
+    motion_ids = np.repeat(np.arange(len(counts)), counts).astype(np.int32)
+    t0 = (np.concatenate([np.arange(c) for c in counts]) * dt
+          ).astype(np.float32)
+    total_w = len(motion_ids)
+
+    @jax.jit
+    def chunk_moments(lib, ids, starts, w, shift):
+        """Weighted sum of (x - shift) and (x - shift)^2 — centered second
+        moments avoid f32 cancellation, so the result is chunk-size
+        independent to float precision."""
+        feats, _ = window_features(model, cfg, lib, ids, starts)
+        feats = feats - shift
+        w = w[:, None, None]
+        return (jnp.sum(feats * w, axis=0),
+                jnp.sum(jnp.square(feats) * w, axis=0))
+
+    def chunks():
+        for i in range(0, total_w, chunk):
+            ids = motion_ids[i:i + chunk]
+            starts = t0[i:i + chunk]
+            n = len(ids)
+            if n < chunk:  # pad to the static chunk shape
+                ids = np.pad(ids, (0, chunk - n))
+                starts = np.pad(starts, (0, chunk - n))
+            w = (np.arange(chunk) < n).astype(np.float32)
+            yield jnp.asarray(ids), jnp.asarray(starts), jnp.asarray(w)
+
+    # pass 1: mean; pass 2: variance about the mean
+    zero = jnp.zeros((cfg.total_frames, cfg.frame_dim(model)), jnp.float32)
+    s = 0.0
+    for ids, starts, w in chunks():
+        s = s + chunk_moments(lib, ids, starts, w, zero)[0]
+    mean = s / total_w
+    ss = 0.0
+    for ids, starts, w in chunks():
+        ss = ss + chunk_moments(lib, ids, starts, w, mean)[1]
+    std = jnp.maximum(jnp.sqrt(ss / total_w), 1e-3)
     return mean, std  # (total_frames, frame_dim)
 
 

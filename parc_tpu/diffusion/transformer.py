@@ -22,6 +22,13 @@ hoist the CNN out of a ``lax.scan`` body on its own.
 
 TPU notes: attention is over ~82 tokens — a single fused matmul regime;
 everything is bf16-friendly dense compute on the MXU.
+
+CHECKPOINT FORMAT NOTE: the setup()-based module names the flax param
+tree (t_mlp/in_mlp/layers_N/pos_embed/...). Checkpoints saved by the
+early @nn.compact variant (Dense_0/EncoderLayer_0 names, and two
+independent input MLPs for prev-state vs frame tokens) do NOT restore
+into this tree and are invalidated; the shared in_mlp matches the
+reference's _in_mlp_gen_seq. No shipped artifact uses the old format.
 """
 
 from __future__ import annotations

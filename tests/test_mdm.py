@@ -62,6 +62,38 @@ def test_sampler_batch(setup):
     np.testing.assert_allclose(headings, 0.0, atol=1e-3)
 
 
+def test_exact_feature_stats(setup):
+    """Exact stats = brute-force enumeration of every window; deterministic
+    (no rng), matching the reference's whole-dataset computation
+    (diffusion/mdm.py:480-548); small chunk sizes don't change the result."""
+    model, lib, mdm = setup
+    scfg = mdm.scfg
+    mean, std = sampler_lib.compute_feature_stats_exact(model, scfg, lib)
+    assert mean.shape == (scfg.total_frames, mdm.frame_dim)
+
+    # brute force: all windows on the dt grid, single full batch
+    dt = 1.0 / scfg.fps
+    window = (scfg.total_frames - 1) * dt
+    lengths = np.asarray(lib.lengths)
+    counts = np.maximum(
+        np.floor((lengths - window) / dt + 1e-6).astype(int) + 1, 1)
+    ids = np.repeat(np.arange(len(counts)), counts).astype(np.int32)
+    t0 = np.concatenate([np.arange(c) for c in counts]) * dt
+    feats, _ = sampler_lib.window_features(
+        model, scfg, lib, jnp.asarray(ids), jnp.asarray(t0, jnp.float32))
+    ref_mean = np.mean(np.asarray(feats), axis=0)
+    ref_std = np.maximum(np.std(np.asarray(feats), axis=0), 1e-3)
+    np.testing.assert_allclose(np.asarray(mean), ref_mean, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(std), ref_std, atol=1e-4)
+
+    # chunking must not change the result (weighted padding correctness)
+    mean2, std2 = sampler_lib.compute_feature_stats_exact(
+        model, scfg, lib, chunk=37)
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(mean),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std2), np.asarray(std), atol=1e-5)
+
+
 def test_train_step_decreases_loss(setup):
     model, lib, mdm = setup
     state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=256)

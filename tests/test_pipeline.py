@@ -70,8 +70,20 @@ def test_tracker_train_and_record(dataset_yaml, model, tmp_path):
     tcfg = train_tracker.TrainerConfig(
         output_dir=str(tmp_path / "tracker"), iters_per_output=2,
         iters_per_checkpoint=2, test_steps=6)
-    state = train_tracker.train(agent, lib, tcfg, max_iters=3)
+    state = train_tracker.train(agent, lib, tcfg, max_iters=3,
+                                meta=dataset.dataset_meta(dataset_yaml))
     assert float(state.sample_count) == 3 * 4 * 4
+
+    # min-episodes-per-env evaluation (reference: base_agent.py:328-362):
+    # the while-loop runs past short episodes until every env contributed
+    # ceil(test_episodes/num_envs) episodes (bounded by max_steps)
+    test_fn = train_tracker.make_test_fn(agent, 400, test_episodes=8)
+    test = test_fn(jax.device_put(lib), state, jax.random.PRNGKey(1))
+    assert int(test["num_eps"]) >= 8
+    assert int(test["test_steps"]) <= 400
+    comp = np.asarray(test["component_returns"])
+    assert comp.shape == (6,) and np.all(np.isfinite(comp))
+    assert np.isfinite(float(test["mean_return"]))
     # checkpoint written and restorable into a *different* num_envs
     # (persistent sub-pytree excludes per-env transients)
     from parc_tpu.learning import ppo as ppo_lib
@@ -178,6 +190,17 @@ def test_mdm_validation_harness(dataset_yaml, model, tmp_path):
     import os
     assert len(os.listdir(tmp_path / "val")) == 2
 
+    # checkpoint-history sweep (reference: compute_losses.py epoch sweep):
+    # save two checkpoints, sweep both, rows tagged per step
+    from parc_tpu.utils import checkpoint as ckpt_lib
+    ckpt_dir = str(tmp_path / "ckpts")
+    ckpt_lib.save(ckpt_dir, 1, state)
+    ckpt_lib.save(ckpt_dir, 2, state)
+    assert ckpt_lib.all_steps(ckpt_dir) == [1, 2]   # full history retained
+    sweep = validation.sweep_checkpoints(mdm, state, ckpt_dir, [fx],
+                                         seed=0, path_cfg=cfg, top_k=1)
+    assert [r["checkpoint"] for r in sweep] == [1, 2]
+
 
 def test_astar_mdm_replan(dataset_yaml, model, tmp_path):
     """Online A*+MDM replanning from the current pose (reference:
@@ -244,6 +267,73 @@ def test_loss_roundtrip_and_dataset_filter(model, tmp_path):
     files = [m["file"] for m in manifest["motions"]]
     assert any(f.endswith("good.npz") for f in files)
     assert not any(f.endswith("bad.npz") for f in files)
+
+
+def test_dataset_mask_precompute(model, tmp_path, monkeypatch):
+    """Dataset build computes and persists motion-aware terrain masks for
+    clips missing them (reference: PARC/util/create_dataset.py:148-163):
+    touched cells get pinned augmentation bounds instead of the free +-3 m
+    defaults, and the MotionLib threads the stored bounds through."""
+    import yaml
+    from parc_tpu.anim import motion_lib as ml
+    from parc_tpu.pipeline import dataset
+
+    root = tmp_path / "motions"
+    (root / "walk").mkdir(parents=True)
+    clip = walking_clip(seed=0)
+    assert clip.terrain.hf_maxmin is None   # precondition: no stored bounds
+    md.save_motion_data(str(root / "walk" / "w.npz"), clip)
+    out = dataset.create_dataset_yaml(str(root), str(tmp_path / "d.yaml"))
+    with open(out) as f:
+        entry = yaml.safe_load(f)["motions"][0]
+    saved = md.load_motion_data(entry["file"])
+    t = saved.terrain
+    assert t.hf_mask is not None and t.hf_mask.any()
+    assert t.hf_maxmin is not None
+    assert saved.hf_mask_inds is not None
+    assert len(saved.hf_mask_inds) == saved.frames.shape[0]
+    # each touched cell is either pinned near hf or jump-carved (the
+    # character cleared it: hmax capped below the flight path, hmin open);
+    # free cells get the wide z_buf bounds
+    masked = t.hf_maxmin[t.hf_mask]
+    mhf = t.hf[t.hf_mask]
+    pinned = masked[:, 0] - mhf < 0.1
+    carved = masked[:, 1] - mhf < -2.9
+    assert np.all(pinned | carved) and pinned.any()
+    free = t.hf_maxmin[~t.hf_mask]
+    assert np.all(free[:, 0] - t.hf[~t.hf_mask] > 2.9)
+    assert np.all(free[:, 1] - t.hf[~t.hf_mask] < -2.9)
+    # stored bounds (not the +-3 default) reach the device MotionLib
+    lib = ml.build_motion_lib(model, [saved])
+    mm = np.asarray(lib.terrain_maxmin[0])
+    hf = np.asarray(lib.terrain_hf[0])
+    assert (mm[..., 0] - hf < 0.5).any() and not np.allclose(
+        mm[..., 0] - hf, 3.0)
+
+
+def test_dataset_reference_pkl_conversion(model, tmp_path):
+    """An ingested reference .pkl keeps its stored hf_maxmin, gains
+    computed hf_mask_inds, and is persisted as a native .npz."""
+    import shutil
+    import yaml
+    from parc_tpu.pipeline import dataset
+
+    root = tmp_path / "motions"
+    (root / "ref").mkdir(parents=True)
+    shutil.copy("/root/reference/data/terrains/civilization.pkl",
+                str(root / "ref" / "civ.pkl"))
+    orig = md.load_motion_data(str(root / "ref" / "civ.pkl"))
+    cfg = dataset.DatasetConfig(max_terrain_cells=64)   # civ terrain is 50x50
+    out = dataset.create_dataset_yaml(str(root), str(tmp_path / "d.yaml"),
+                                      cfg, model=model)
+    with open(out) as f:
+        entry = yaml.safe_load(f)["motions"][0]
+    assert entry["file"].endswith(".npz")   # foreign pickle converted
+    saved = md.load_motion_data(entry["file"])
+    np.testing.assert_allclose(saved.terrain.hf_maxmin,
+                               orig.terrain.hf_maxmin, atol=1e-5)
+    assert saved.hf_mask_inds is not None
+    assert len(saved.hf_mask_inds) == saved.frames.shape[0]
 
 
 def test_cli_parkour_training(dataset_yaml, model, tmp_path):
