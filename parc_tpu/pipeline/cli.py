@@ -112,13 +112,14 @@ def stage_train_tracker(cfg: dict):
 
     env = builder.build_env(model, cfg, mdm=mdm)
     agent = PPOAgent(env, _dataclass_from_dict(PPOConfig, cfg))
-    if cfg.get("env_name") == "parkour":
+    if cfg.get("env_name") in ("parkour", "mgdm"):
         lib = env.make_lib(lib, mdm_state)
     tcfg = _dataclass_from_dict(train_tracker.TrainerConfig, cfg)
     if cfg.get("out_dir"):
         tcfg = dataclasses.replace(tcfg, output_dir=cfg["out_dir"])
     train_tracker.train(agent, lib, tcfg, seed=cfg.get("seed", 0),
-                        max_iters=cfg.get("max_iters"))
+                        max_iters=cfg.get("max_iters"),
+                        meta=dataset.dataset_meta(cfg["dataset"]))
 
 
 def stage_record(cfg: dict):
@@ -170,17 +171,27 @@ def stage_eval(cfg: dict):
     restored = ckpt_lib.restore(f"{cfg['tracker_dir']}/checkpoints",
                                 ppo_lib.persistent_state(state))
     state = ppo_lib.merge_persistent(state, restored)
-    test_fn = train_tracker.make_test_fn(agent, lib,
-                                         cfg.get("test_steps", 300))
+    test_fn = train_tracker.make_test_fn(
+        agent, cfg.get("test_steps", 300),
+        test_episodes=cfg.get("test_episodes", 16))
     lib = jax.device_put(lib)
     test = test_fn(lib, state, jax.random.PRNGKey(cfg.get("seed", 0)))
     print(f"test_reward      {float(test['mean_reward']):.4f}")
-    print(f"episodes         {int(test['num_eps'])}")
+    print(f"test_return      {float(test['mean_return']):.4f}")
+    print(f"episodes         {int(test['num_eps'])}"
+          f" (over {int(test['test_steps'])} steps)")
     print(f"mean_ep_len      {float(test['mean_ep_len']):.3f} s")
     print(f"fail_frac        {float(test['fail_frac']):.4f}")
+    comp = np.asarray(test["component_returns"])
+    for name, v in zip(train_tracker.REWARD_COMPONENT_NAMES, comp):
+        print(f"return_{name:<13s} {float(v):.4f}")
     terr = np.asarray(test["tracking_error"])
     for name, v in zip(train_tracker.TRACKING_ERROR_NAMES, terr):
         print(f"{name:<16s} {float(v):.5f}")
+    from parc_tpu.pipeline import train_tracker as tt
+    from parc_tpu.utils.logger import Logger
+    tt.log_fail_rate_tables(Logger(), np.asarray(state.env_state.fail_rates),
+                            dataset.dataset_meta(cfg["dataset"]), top_k=10)
     if cfg.get("diagnostics"):
         from parc_tpu.learning import diagnostics
         report = diagnostics.full_report(agent, state, state.env_state.obs)
@@ -329,9 +340,11 @@ def stage_studio(cfg: dict):
                       mdm_dir=cfg.get("mdm_dir"),
                       tracker_dir=cfg.get("tracker_dir"),
                       seed=cfg.get("seed", 0),
-                      mdm_config=cfg)  # MDMConfig keys filtered inside
+                      mdm_config=cfg,  # MDMConfig keys filtered inside
+                      workspace=cfg.get("workspace"))
     studio.run_studio(s, port=int(cfg.get("port", 8000)),
-                      host=cfg.get("host", "127.0.0.1"))
+                      host=cfg.get("host", "127.0.0.1"),
+                      allow_remote=bool(cfg.get("allow_remote", False)))
 
 
 STAGES = {
@@ -370,9 +383,12 @@ def main(argv=None):
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--test_steps", type=int, default=None)
+    p.add_argument("--test_episodes", type=int, default=None)
     p.add_argument("--diagnostics", action="store_true", default=None)
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--host", default=None)
+    p.add_argument("--allow_remote", action="store_true", default=None)
+    p.add_argument("--workspace", default=None)
     p.add_argument("--env_name", default=None,
                    choices=["deepmimic", "parkour", "mgdm"])
     args = p.parse_args(argv)

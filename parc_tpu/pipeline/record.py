@@ -123,7 +123,7 @@ def record_motions(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
         obs = np.asarray(obs) if cfg.save_obs else None  # (T, B, obs_dim)
         dones = np.asarray(dones)
         mtimes = np.asarray(mtimes)
-        was_alive = np.asarray(alive)    # (T, B) alive *before* the step
+        del alive  # end-of-clip accounting comes from the done flags
 
         still_pending = []
         for mid in pending:
@@ -131,11 +131,13 @@ def record_motions(agent: PPOAgent, lib: ml.MotionLib, state: AgentState,
             # first step where the env finished
             done_steps = np.nonzero(dones[:, k] != DoneFlags.NULL)[0]
             end = int(done_steps[0]) + 1 if len(done_steps) else num_steps
-            final_flag = dones[end - 1, k] if len(done_steps) else \
-                DoneFlags.TIME
             final_time = mtimes[end - 1, k]
-            success = (final_flag != DoneFlags.FAIL
-                       or final_time >= lengths[k] - cfg.success_slack)
+            # success is gated on motion time alone: the tracker must have
+            # played the clip through to (nearly) its end — a truncated
+            # rollout or an early TIME done is NOT a successful track
+            # (reference: learning/dm_ppo_agent.py:476-512, success iff
+            # motion time >= length - 2*dt)
+            success = final_time >= lengths[k] - cfg.success_slack
             if not success:
                 still_pending.append(mid)
                 continue

@@ -48,51 +48,130 @@ class TrainerConfig:
     profile_start: int = 10
 
 
-def make_test_fn(agent: PPOAgent, lib: ml.MotionLib, num_steps: int):
+REWARD_COMPONENT_NAMES = ("pose_r", "vel_r", "root_pose_r", "root_vel_r",
+                          "key_pos_r", "contact_r")
+
+
+def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16):
     """Deterministic-policy evaluation rollout (jitted once; ``lib`` and
     ``state`` are jit arguments).
 
-    Returns per-rollout mean reward, episode stats, and the 7 tracking-error
-    components (reference: learning/dm_ppo_agent.py:162-219)."""
-    del lib  # passed at call time
+    Runs until every env has finished at least ceil(test_episodes /
+    num_envs) episodes (reference: learning/base_agent.py:328-362 —
+    the min-episodes-per-env loop removes the bias toward short episodes
+    that a fixed step count has), bounded by ``max_steps``.  Returns
+    per-episode return/length, fail fraction, per-reward-component
+    episodic returns (reference: learning/return_tracker.py:5-60,
+    dm_ppo_return_tracker.py), and the 7 tracking-error components
+    (reference: learning/dm_ppo_agent.py:162-219)."""
     env = agent.env
 
     def test_fn(lib, state: AgentState, rng):
-        env_state = env.reset(lib, rng)
+        es = env.reset(lib, rng)
+        n = es.done.shape[0]
+        min_eps = -(-int(test_episodes) // n)   # static ceil
+        ncomp = es.reward_components.shape[-1]
+        nterr = es.tracking_error.shape[-1]
 
-        def step_fn(es, _):
+        carry0 = dict(
+            es=es,
+            step=jnp.zeros((), jnp.int32),
+            eps_per_env=jnp.zeros((n,), jnp.int32),
+            ret_buf=jnp.zeros((n,)),
+            comp_buf=jnp.zeros((n, ncomp)),
+            reward_sum=jnp.zeros(()),
+            ep_ret_sum=jnp.zeros(()),
+            ep_len_sum=jnp.zeros(()),
+            ep_cnt=jnp.zeros(()),
+            fail_cnt=jnp.zeros(()),
+            comp_ret_sum=jnp.zeros((ncomp,)),
+            terr_sum=jnp.zeros((nterr,)),
+        )
+
+        def cond(c):
+            return ((c["step"] < max_steps)
+                    & ~jnp.all(c["eps_per_env"] >= min_eps))
+
+        def body(c):
+            es = c["es"]
             norm_obs = norm_lib.normalize(state.obs_norm, es.obs)
             mean, _ = agent.net.apply(state.params, norm_obs,
                                       method="actor")
             action = agent.a_mid + agent.a_scale * mean
             es = env.step(lib, es, action)
-            # terminal_times = pre-reset episode time (es.time is already
-            # zeroed for done envs by the in-graph auto-reset)
-            out = (es.reward, es.done, es.terminal_times, es.tracking_error)
-            return es, out
+            is_done = es.done != DoneFlags.NULL
+            d = is_done.astype(jnp.float32)
+            # per-env episodic accumulators (reset on done)
+            ret_buf = c["ret_buf"] + es.reward
+            comp_buf = c["comp_buf"] + es.reward_components
+            return dict(
+                es=es,
+                step=c["step"] + 1,
+                eps_per_env=c["eps_per_env"] + is_done.astype(jnp.int32),
+                ret_buf=jnp.where(is_done, 0.0, ret_buf),
+                comp_buf=jnp.where(is_done[:, None], 0.0, comp_buf),
+                reward_sum=c["reward_sum"] + jnp.sum(es.reward),
+                ep_ret_sum=c["ep_ret_sum"] + jnp.sum(d * ret_buf),
+                # terminal_times = pre-reset episode time (es.time is
+                # already zeroed for done envs by the in-graph auto-reset)
+                ep_len_sum=c["ep_len_sum"] + jnp.sum(d * es.terminal_times),
+                ep_cnt=c["ep_cnt"] + jnp.sum(d),
+                fail_cnt=c["fail_cnt"]
+                + jnp.sum((es.done == DoneFlags.FAIL).astype(jnp.float32)),
+                comp_ret_sum=c["comp_ret_sum"]
+                + jnp.sum(d[:, None] * comp_buf, axis=0),
+                terr_sum=c["terr_sum"] + jnp.sum(es.tracking_error, axis=0),
+            )
 
-        _, (rewards, dones, times, terr) = jax.lax.scan(
-            step_fn, env_state, None, length=num_steps)
-        is_done = dones != DoneFlags.NULL
-        num_eps = jnp.sum(is_done)
-        ep_len = jnp.sum(jnp.where(is_done, times, 0.0)) / jnp.maximum(
-            num_eps, 1)
-        fails = jnp.sum(dones == DoneFlags.FAIL)
+        c = jax.lax.while_loop(cond, body, carry0)
+        steps = jnp.maximum(c["step"].astype(jnp.float32), 1.0)
+        eps = jnp.maximum(c["ep_cnt"], 1.0)
         return dict(
-            mean_reward=jnp.mean(rewards),
-            num_eps=num_eps,
-            mean_ep_len=ep_len,
-            fail_frac=fails / jnp.maximum(num_eps, 1),
-            tracking_error=jnp.mean(terr, axis=(0, 1)),
+            mean_reward=c["reward_sum"] / (steps * n),
+            mean_return=c["ep_ret_sum"] / eps,
+            num_eps=c["ep_cnt"],
+            mean_ep_len=c["ep_len_sum"] / eps,
+            fail_frac=c["fail_cnt"] / eps,
+            component_returns=c["comp_ret_sum"] / eps,
+            tracking_error=c["terr_sum"] / (steps * n),
+            test_steps=c["step"],
         )
 
     return jax.jit(test_fn)
 
 
+def log_fail_rate_tables(logger: Logger, fail_rates: np.ndarray,
+                         meta: Optional[dict], top_k: int = 40) -> None:
+    """Per-motion top-K fail-rate table + per-class mean/max rates
+    (reference: envs/ig_parkour/dm_env.py:786-845 get_extra_log_info)."""
+    fr = np.asarray(fail_rates)
+    names = list((meta or {}).get("names") or [])
+    # envs can append extra slots (e.g. the parkour mgdm terrain slot) —
+    # pad names/classes to the fail-rate length
+    names += [f"motion_{i}" for i in range(len(names), len(fr))]
+    classes = (meta or {}).get("classes")
+    if classes is not None:
+        classes = list(classes) + ["_extra"] * (len(fr) - len(classes))
+    k = min(top_k, len(fr))
+    order = np.argsort(-fr)[:k]
+    print(f"***** TOP {k} FAILURE RATES BY MOTION ID *****")
+    for i in order:
+        print(f"  {names[i]:<40s} id={i:<5d} fail rate (EMA): "
+              f"{fr[i] * 100.0:.1f}%")
+    if classes is not None:
+        for cls in sorted(set(classes)):
+            ids = [i for i, c in enumerate(classes) if c == cls]
+            logger.log(f"{cls}_mean_fail_rate",
+                       float(np.mean(fr[ids]) * 100.0), quiet=True)
+            logger.log(f"{cls}_max_fail_rate",
+                       float(np.max(fr[ids]) * 100.0), quiet=True)
+
+
 def train(agent: PPOAgent, lib: ml.MotionLib,
           cfg: TrainerConfig = TrainerConfig(),
           state: Optional[AgentState] = None,
-          seed: int = 0, max_iters: Optional[int] = None) -> AgentState:
+          seed: int = 0, max_iters: Optional[int] = None,
+          meta: Optional[dict] = None) -> AgentState:
     logger = Logger(output_file=f"{cfg.output_dir}/log.tsv",
                     use_wandb=cfg.use_wandb)
     if state is None:
@@ -107,7 +186,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
     # NOTE: lib is a jit *argument* (device-resident, reused), never a
     # closure — closed-over device arrays stall lowering on remote TPUs.
     train_iter = jax.jit(lambda l, s: agent.train_iter(l, s))
-    test_fn = make_test_fn(agent, lib, cfg.test_steps)
+    test_fn = make_test_fn(agent, cfg.test_steps, cfg.test_episodes)
     lib = jax.device_put(lib)
 
     it = 0
@@ -154,8 +233,13 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
             logger.log("Wall_Time", (time.time() - t_start) / 3600.0)
             logger.log("Train_Reward", metrics.mean_reward)
             logger.log("Test_Reward", test["mean_reward"])
+            logger.log("Test_Return", test["mean_return"])
+            logger.log("Test_Episodes", test["num_eps"], quiet=True)
             logger.log("Test_Episode_Length", test["mean_ep_len"])
             logger.log("Test_Fail_Frac", test["fail_frac"])
+            comp = np.asarray(test["component_returns"])
+            for name, v in zip(REWARD_COMPONENT_NAMES, comp):
+                logger.log(f"Return_{name}", float(v), quiet=True)
             logger.log("Actor_Loss", metrics.actor_loss)
             logger.log("Critic_Loss", metrics.critic_loss)
             logger.log("Clip_Frac", metrics.clip_frac)
@@ -169,6 +253,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
             for q in (0.5, 0.9, 0.99):
                 logger.log(f"Fail_Rate_q{q}", float(np.quantile(fr, q)),
                            quiet=True)
+            log_fail_rate_tables(logger, fr, meta, top_k=10)
             logger.end_iter()
 
         if it % cfg.iters_per_checkpoint == 0:
