@@ -179,7 +179,11 @@ def points_boxes_sdf(points: jax.Array, box_centers: jax.Array,
     """
     d = jnp.abs(points[..., :, None, :] - box_centers[..., None, :, :]) \
         - box_halfdims[..., None, :, :]
-    outside = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1)
+    # sqrt(sum^2 + eps), NOT linalg.norm: its gradient at exactly zero is
+    # NaN, and optimizers differentiate through this SDF while driving
+    # points onto the surface (motion opt, constraint projection, MDM
+    # hf-collision loss)
+    outside = jnp.sqrt(jnp.sum(jnp.maximum(d, 0.0)**2, axis=-1) + 1e-12)
     inside = jnp.minimum(jnp.max(d, axis=-1), 0.0)
     return outside + inside
 
@@ -219,7 +223,8 @@ def points_hf_sdf(points: jax.Array, hf: jax.Array, hf_min_point: jax.Array,
         [jnp.broadcast_to(dxdy / 2.0, centers_xy.shape), z_half[..., None]],
         axis=-1)
     d = jnp.abs(points[..., None, :] - centers) - halfdims
-    outside = jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1)
+    # NaN-safe norm (see points_boxes_sdf)
+    outside = jnp.sqrt(jnp.sum(jnp.maximum(d, 0.0)**2, axis=-1) + 1e-12)
     inside = jnp.minimum(jnp.max(d, axis=-1), 0.0)
     sdf = jnp.min(outside + inside, axis=-1)
     return -sdf if inverted else sdf
@@ -308,15 +313,37 @@ def compute_hf_mask_inds(terrain: Terrain, body_points: jax.Array,
 
 def compute_hf_maxmin(terrain: Terrain, body_points: jax.Array,
                       mask: Optional[jax.Array] = None,
-                      max_h: float = 3.0, min_h: float = -3.0,
+                      z_buf: float = 3.0, jump_buf: float = 0.8,
                       contact_eps: float = 0.05) -> Terrain:
-    """Augmentation bounds: free cells may move in [min_h, max_h]; cells the
-    motion touched are pinned near their current height (reference:
-    util/terrain_util.py:2017-2047)."""
+    """Augmentation bounds (reference: util/terrain_util.py:2017-2047
+    compute_hf_extra_vals):
+
+    * free cells may move in [min(terrain) - z_buf, max(body z) + z_buf];
+    * cells the motion touched are pinned near their current height;
+    * **jump-gap carving**: touched cells the character cleared by at least
+      ``jump_buf`` (min body height >= hf + jump_buf) may be carved *down*
+      to a gap (hmin = global min - z_buf) and raised only up to
+      ``min_body - jump_buf`` — augmentation can open a gap under a jump
+      but never put terrain into the flight path.
+    """
+    pts = body_points.reshape(-1, 3)
     if mask is None:
-        mask = compute_hf_mask_inds(terrain, body_points)
-    hmax = jnp.where(mask, terrain.hf + contact_eps, terrain.hf + max_h)
-    hmin = jnp.where(mask, terrain.hf - contact_eps, terrain.hf + min_h)
+        mask = compute_hf_mask_inds(terrain, pts)
+    ij = get_grid_index(terrain, pts[:, 0:2])
+    # min body height per cell (inf where never visited)
+    min_body = jnp.full(terrain.dims, jnp.inf, terrain.hf.dtype)
+    min_body = min_body.at[ij[:, 0], ij[:, 1]].min(pts[:, 2])
+    # spread over the padded mask like compute_hf_mask_inds does
+    min_body = -jax.lax.reduce_window(
+        -min_body, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+
+    max_free = jnp.max(pts[:, 2]) + z_buf
+    min_free = jnp.min(terrain.hf) - z_buf
+    hmax = jnp.where(mask, terrain.hf + contact_eps, max_free)
+    hmin = jnp.where(mask, terrain.hf - contact_eps, min_free)
+    jump = mask & ((min_body - terrain.hf) >= jump_buf)
+    hmax = jnp.where(jump, min_body - jump_buf, hmax)
+    hmin = jnp.where(jump, min_free, hmin)
     return terrain.replace(hf_mask=mask,
                            hf_maxmin=jnp.stack([hmax, hmin], axis=-1))
 
@@ -578,6 +605,85 @@ def linear_parkour_course(rng: np.random.Generator, x_dim: int = 48,
     half_x, half_y = x_dim * dx / 2, y_dim * dx / 2
     t = create_terrain(x_dim, y_dim, dx=dx, min_x=-half_x, min_y=-half_y)
     return t.replace(hf=jnp.asarray(hf))
+
+
+def random_linear_parkour_course(rng: np.random.Generator,
+                                 x_dim: int = 64, y_dim: int = 16,
+                                 dx: float = 0.4,
+                                 min_block_spacing: float = 6.5,
+                                 max_block_spacing: float = 8.0,
+                                 gap_width: float = 1.2,
+                                 gap_height: float = -1.5,
+                                 vault_width: float = 0.8,
+                                 vault_height: float = 1.0,
+                                 num_padding_cells: int = 2) -> Terrain:
+    """Randomized linear parkour course (reference:
+    util/terrain_util.py:427-543 random_linear_parkour_course):
+    stations along the course axis spaced alternately by the min/max block
+    spacing (coin flip per station), each a full-width **vault** (raised
+    block to climb over) or **gap** (pit to jump across).  The reference
+    also emits a bespoke trimesh for PhysX; on TPU the hf itself is the
+    collision geometry (hf_to_voxelized_trimesh only for export)."""
+    hf = np.zeros((x_dim, y_dim), np.float32)
+    x = 0.0
+    max_x_len = x_dim * dx
+    centers = []
+    while True:
+        x += min_block_spacing if rng.random() < 0.5 else max_block_spacing
+        if x >= max_x_len:
+            break
+        centers.append(int(round(x / dx)) + num_padding_cells)
+    for c in centers:
+        if c >= x_dim - num_padding_cells:
+            continue
+        is_vault = rng.random() < 0.5
+        h = vault_height if is_vault else gap_height
+        w = vault_width if is_vault else gap_width
+        wc = max(int(round(w / dx)) // 2, 1)
+        lo, hi = max(c - wc, 0), min(c + wc + 1, x_dim)
+        hf[lo:hi, :] = h
+    half_x, half_y = x_dim * dx / 2, y_dim * dx / 2
+    t = create_terrain(x_dim, y_dim, dx=dx, min_x=-half_x, min_y=-half_y)
+    return t.replace(hf=jnp.asarray(hf))
+
+
+def hf_from_motion(body_pos: np.ndarray, dx: float = 0.4,
+                   num_neg_x: int = 15, num_pos_x: int = 15,
+                   num_neg_y: int = 15, num_pos_y: int = 15,
+                   min_height: float = -2.0,
+                   ground_height: float = 0.0,
+                   floor_heights: Optional[np.ndarray] = None,
+                   canon_idx: int = 0) -> Terrain:
+    """Path-under-the-motion heightfield (reference:
+    util/terrain_util.py:597-700 hf_from_motion): a low floor at
+    ``min_height`` with a walkable path at ``ground_height`` (or the
+    per-frame ``floor_heights``) carved under every body position.  Used
+    to synthesize per-motion terrains for clips that have none.
+
+    ``body_pos`` is (T, B, 3) world body positions (FK output); the grid
+    is centered on the root/body position of frame ``canon_idx``.
+    Returns a Terrain with ``hf_mask`` marking the path cells.
+    """
+    body_pos = np.asarray(body_pos)
+    center = body_pos[canon_idx, 0, 0:2]
+    min_point = center - dx * np.asarray([num_neg_x, num_neg_y])
+    dims = (num_neg_x + num_pos_x + 1, num_neg_y + num_pos_y + 1)
+    hf = np.full(dims, min_height, np.float32)
+    mask = np.zeros(dims, bool)
+    ij = np.round((body_pos[..., 0:2] - min_point) / dx).astype(np.int64)
+    ij = np.clip(ij, 0, np.asarray(dims) - 1)       # (T, B, 2)
+    if floor_heights is not None:
+        # per-frame floor height, written per body column (T-major so the
+        # path under later frames wins like the reference's CPU scatter)
+        fh = np.broadcast_to(np.asarray(floor_heights, np.float32)[:, None],
+                             ij.shape[:2])
+        hf[ij[..., 0].ravel(), ij[..., 1].ravel()] = fh.ravel()
+    else:
+        hf[ij[..., 0].ravel(), ij[..., 1].ravel()] = ground_height
+    mask[ij[..., 0].ravel(), ij[..., 1].ravel()] = True
+    t = create_terrain(dims[0], dims[1], dx=dx,
+                       min_x=float(min_point[0]), min_y=float(min_point[1]))
+    return t.replace(hf=jnp.asarray(hf), hf_mask=jnp.asarray(mask))
 
 
 def generate_cave(rng: np.random.Generator, x_dim: int = 48,

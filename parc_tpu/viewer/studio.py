@@ -58,11 +58,15 @@ class Studio:
                  motion: Optional[md.MotionData] = None,
                  mdm_dir: Optional[str] = None,
                  tracker_dir: Optional[str] = None,
-                 seed: int = 0, mdm_config: Optional[dict] = None):
+                 seed: int = 0, mdm_config: Optional[dict] = None,
+                 workspace: Optional[str] = None):
         if model is None:
             from parc_tpu.data.humanoid import humanoid_spec
             model = humanoid_spec().build()
         self.model = model
+        # load/save are confined to this directory tree (the API is
+        # reachable over HTTP; never expose arbitrary filesystem paths)
+        self.workspace = os.path.realpath(workspace or os.getcwd())
         self.motion = motion
         self.overlay: Optional[md.MotionData] = None   # e.g. tracked result
         self.overlay_label = "overlay"
@@ -129,8 +133,19 @@ class Studio:
         return data
 
     # -- io ---------------------------------------------------------------
+    def _workspace_path(self, path: str) -> str:
+        """Resolve a user-supplied path, refusing escapes from workspace."""
+        resolved = os.path.realpath(
+            os.path.join(self.workspace, path) if not os.path.isabs(path)
+            else path)
+        if not (resolved == self.workspace
+                or resolved.startswith(self.workspace + os.sep)):
+            raise StudioError(
+                f"path outside the studio workspace ({self.workspace})")
+        return resolved
+
     def load(self, path: str) -> dict:
-        self.motion = md.load_motion_data(path)
+        self.motion = md.load_motion_data(self._workspace_path(path))
         self.overlay = None
         self.path_world = self.path_grid = None
         self.status = f"loaded {os.path.basename(path)}"
@@ -138,6 +153,7 @@ class Studio:
 
     def save(self, path: str) -> dict:
         m = self._require_motion()
+        path = self._workspace_path(path)
         md.save_motion_data(path, m)
         self.status = f"saved {path}"
         return self.state()
@@ -436,7 +452,8 @@ class Studio:
 # HTTP layer
 # ---------------------------------------------------------------------------
 
-def make_server(studio: Studio, port: int = 8000, host: str = "127.0.0.1"):
+def make_server(studio: Studio, port: int = 8000, host: str = "127.0.0.1",
+                allow_remote: bool = False):
     """ThreadingHTTPServer serving the studio page + JSON API."""
     import http.server
 
@@ -481,16 +498,31 @@ def make_server(studio: Studio, port: int = 8000, host: str = "127.0.0.1"):
                 self._send(400, json.dumps({"error": str(e)}).encode(),
                            "application/json")
             except Exception as e:  # surfaced in the UI, not a crash
+                # log the detail server-side; only the exception class
+                # crosses the wire (no raw message/path disclosure)
+                import traceback
+                traceback.print_exc()
                 self._send(500, json.dumps(
-                    {"error": f"{type(e).__name__}: {e}"}).encode(),
+                    {"error": f"internal error ({type(e).__name__}); "
+                              "see server log"}).encode(),
                     "application/json")
 
+    _check_bind(host, allow_remote)
     return http.server.ThreadingHTTPServer((host, port), Handler)
 
 
+def _check_bind(host: str, allow_remote: bool = False) -> None:
+    if host not in ("127.0.0.1", "localhost", "::1") and not allow_remote:
+        raise ValueError(
+            f"refusing non-local bind {host!r}: the studio API is "
+            "unauthenticated. Pass allow_remote=True (CLI: "
+            "--allow_remote) only on a trusted network.")
+
+
 def run_studio(studio: Studio, port: int = 8000,
-               host: str = "127.0.0.1") -> None:
-    server = make_server(studio, port=port, host=host)
+               host: str = "127.0.0.1", allow_remote: bool = False) -> None:
+    server = make_server(studio, port=port, host=host,
+                         allow_remote=allow_remote)
     print(f"parc_tpu studio at http://{host}:{server.server_address[1]}/")
     try:
         server.serve_forever()

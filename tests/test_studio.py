@@ -98,8 +98,11 @@ def test_track_untrained(model):
 
 
 def test_save_load_roundtrip(studio, tmp_path):
+    studio.workspace = str(tmp_path)  # load/save are workspace-confined
     p = str(tmp_path / "clip.npz")
     studio.save(path=p)
+    with pytest.raises(StudioError):     # escape attempts are refused
+        studio.save(path="/etc/clip.npz")
     s = studio.load(path=p)
     assert "loaded" in s["status"]
     with pytest.raises(StudioError):
