@@ -92,18 +92,30 @@ def main():
             lib, jax.tree.map(
                 lambda _: NamedSharding(mesh, PartitionSpec()), lib))
     else:
+        pool_k = PPOConfig().reset_pool_k
+
         def rollout(lib, env_state, params, obs_norm):
+            # reset pool amortized over the rollout, as in training
+            # (learning/ppo.py rollout): done envs pull pre-sampled reset
+            # states/obs instead of paying a second obs pass every step
+            pool = env.build_reset_pool(
+                lib, env_state.rng, env_state.fail_rates, NUM_ENVS,
+                k=pool_k)
+
             def step_fn(carry, _):
-                es = carry
+                es, counts = carry
                 norm_obs = norm_lib.normalize(obs_norm, es.obs)
                 mean, _ = agent.net.apply(params, norm_obs,
                                           method="actor")
                 action = agent.a_mid + agent.a_scale * mean
-                es = env.step(lib, es, action)
-                return es, es.reward.mean()
+                es = env.step(lib, es, action, reset_pool=pool,
+                              pool_slot=counts % pool_k)
+                counts = counts + (es.done != 0).astype(counts.dtype)
+                return (es, counts), es.reward.mean()
 
-            es, rewards = jax.lax.scan(step_fn, env_state, None,
-                                       length=ROLLOUT_STEPS)
+            counts0 = jnp.zeros((NUM_ENVS,), jnp.int32)
+            (es, _), rewards = jax.lax.scan(step_fn, (env_state, counts0),
+                                            None, length=ROLLOUT_STEPS)
             return es, rewards.mean()
 
         # lib enters as a jit argument: device-array closures would be

@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from parc_tpu.anim import char_model as cm
 from parc_tpu.anim import motion_lib as ml
@@ -33,6 +34,43 @@ from parc_tpu.envs.base import DoneFlags, EnvConfig, EnvState
 from parc_tpu.physics import engine
 from parc_tpu.utils import rotation as rot
 from parc_tpu.utils import terrain as terrain_lib
+
+
+@struct.dataclass
+class ResetPool:
+    """Pre-sampled reset states + their observations, flattened [k*N].
+
+    The reference resets only the done env indices each step
+    (learning/base_agent.py:388-392 -> env.reset(done_indices)) — a
+    dynamic-shape pattern XLA cannot compile.  Round 1 instead computed a
+    full-batch reset state + obs EVERY step and masked it in, which made
+    obs assembly the single largest non-physics cost (a second full pass,
+    ~1.6 ms/step @4096 envs).  The pool amortizes it: k full reset
+    batches are sampled and observed ONCE per rollout iteration, and a
+    done env pulls entry ``slot*N + env_index`` (slot = its reset count
+    this iteration, mod k).  Entries are i.i.d. draws from the same
+    reset distribution, so semantics match the reference up to (a) the
+    fail-rate curriculum weights being one iteration stale and (b) entry
+    reuse if an env resets more than k times per iteration.
+    """
+
+    sim: engine.SimState      # [k*N, ...]
+    motion_ids: jax.Array     # (k*N,)
+    times: jax.Array          # (k*N,)
+    obs: jax.Array            # (k*N, obs_dim)
+    k: int = struct.field(pytree_node=False, default=4)
+
+
+def _pool_take(pool: ResetPool, slot: jax.Array, n: int):
+    """Gather each env's reset entry ``slot[i]*n + i`` from the pool.
+
+    One contiguous-row gather per env (rows are whole obs/state vectors),
+    NOT the many-small-points pattern that serializes on TPU
+    (utils/gather.py applies to the latter)."""
+    idx = slot * n + jnp.arange(n, dtype=slot.dtype)
+    take = lambda a: jnp.take(a, idx, axis=0)
+    return (jax.tree.map(take, pool.sim), take(pool.motion_ids),
+            take(pool.times), take(pool.obs))
 
 
 class DeepMimicEnv:
@@ -152,6 +190,36 @@ class DeepMimicEnv:
             root_ang_vel=frame.root_ang_vel,
             dof_vel=frame.dof_vel)
         return motion_ids, times, sim
+
+    def build_reset_pool(self, lib: ml.MotionLib, rng: jax.Array,
+                         fail_rates: jax.Array, n: int,
+                         k: int = 4) -> ResetPool:
+        """Sample k full reset batches + their obs (see ResetPool)."""
+        ids_l, times_l, sim_l, obs_l = [], [], [], []
+        for c in range(k):
+            ids, times, sim = self._sample_reset(
+                lib, jax.random.fold_in(rng, c), n, fail_rates)
+            tmp = self._obs_view(sim, ids, times)
+            obs_l.append(self._compute_obs(lib, tmp))
+            ids_l.append(ids)
+            times_l.append(times)
+            sim_l.append(sim)
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        return ResetPool(sim=jax.tree.map(lambda *xs: cat(xs), *sim_l),
+                         motion_ids=cat(ids_l), times=cat(times_l),
+                         obs=cat(obs_l), k=k)
+
+    def _obs_view(self, sim, motion_ids, motion_times) -> EnvState:
+        """Minimal EnvState for _compute_obs (unused fields are zeros and
+        dead-code-eliminated by XLA)."""
+        n = motion_ids.shape[0]
+        z = jnp.zeros((n,))
+        return EnvState(
+            sim=sim, obs=z, terminal_obs=z, reward=z,
+            done=jnp.zeros((n,), jnp.int32), time=z, terminal_times=z,
+            motion_ids=motion_ids, motion_times=motion_times,
+            start_times=motion_times, rng=jax.random.PRNGKey(0),
+            fail_rates=z, reward_components=z, tracking_error=z)
 
     def reset(self, lib: ml.MotionLib, rng: jax.Array,
               num_envs: Optional[int] = None,
@@ -399,8 +467,16 @@ class DeepMimicEnv:
     # ------------------------------------------------------------------
 
     def step(self, lib: ml.MotionLib, state: EnvState,
-             actions: jax.Array) -> EnvState:
-        """One control step with masked auto-reset of done envs."""
+             actions: jax.Array,
+             reset_pool: Optional[ResetPool] = None,
+             pool_slot: Optional[jax.Array] = None) -> EnvState:
+        """One control step with masked auto-reset of done envs.
+
+        With ``reset_pool`` (training rollouts), done envs pull their
+        reset state + obs from the pre-sampled pool — one obs pass per
+        step instead of two.  Without it (record / test / generic use),
+        the reset state is sampled and observed inline.
+        """
         cfg = self.cfg
         batched_terrain = terrain_lib.Terrain(
             hf=lib.terrain_hf,
@@ -449,12 +525,18 @@ class DeepMimicEnv:
         # masked reset of done envs
         rng, sub = jax.random.split(state.rng)
         n = state.done.shape[0]
-        r_ids, r_times, r_sim = self._sample_reset(lib, sub, n, fail_rates)
+        if reset_pool is not None:
+            r_sim, r_ids, r_times, r_obs = _pool_take(reset_pool, pool_slot,
+                                                      n)
+        else:
+            r_ids, r_times, r_sim = self._sample_reset(lib, sub, n,
+                                                       fail_rates)
+            r_obs = self._compute_obs(
+                lib, self._obs_view(r_sim, r_ids, r_times))
         reset_state = state.replace(
             sim=r_sim, motion_ids=r_ids, motion_times=r_times,
-            start_times=r_times, time=jnp.zeros_like(time), rng=rng)
-        reset_state = reset_state.replace(
-            obs=self._compute_obs(lib, reset_state))
+            start_times=r_times, time=jnp.zeros_like(time), rng=rng,
+            obs=r_obs)
 
         def sel(a, b):
             mask = is_done.reshape(is_done.shape

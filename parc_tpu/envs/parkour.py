@@ -36,7 +36,7 @@ from parc_tpu.diffusion import gen as gen_lib
 from parc_tpu.diffusion.mdm import MDM, MDMState
 from parc_tpu.envs import obs as obs_mod
 from parc_tpu.envs.base import DoneFlags, EnvConfig, EnvState
-from parc_tpu.envs.deepmimic import DeepMimicEnv
+from parc_tpu.envs.deepmimic import DeepMimicEnv, ResetPool, _pool_take
 from parc_tpu.physics import engine
 from parc_tpu.utils import rotation as rot
 from parc_tpu.utils import terrain as terrain_lib
@@ -70,6 +70,16 @@ class ParkourLib:
     @property
     def num_motions(self) -> int:
         return self.lib.num_motions
+
+
+@struct.dataclass
+class ParkourResetPool(ResetPool):
+    """ResetPool + fresh standing windows/targets for the mgdm rows
+    (flattened [k*Nm])."""
+
+    ref_frames34: jax.Array = None
+    ref_contacts: jax.Array = None
+    target_xy: jax.Array = None
 
 
 @struct.dataclass
@@ -270,6 +280,73 @@ class ParkourEnv(DeepMimicEnv):
         obs0 = self._compute_obs_parkour(lib, state)
         return state.replace(obs=obs0, terminal_obs=obs0)
 
+    def _parkour_view(self, sim, ids, times, frames, contacts,
+                      targets) -> ParkourState:
+        """Minimal ParkourState for _combined_ref / obs computation."""
+        base = self._obs_view(sim, ids, times)
+        pcfg = self.pcfg
+        if frames is None:
+            frames = jnp.zeros((0, pcfg.plan_frames, 34))
+            contacts = jnp.zeros((0, pcfg.plan_frames,
+                                  self.model.num_bodies))
+            targets = jnp.zeros((0, 2))
+        fields = {f.name: getattr(base, f.name)
+                  for f in dataclasses.fields(EnvState)}
+        return ParkourState(**fields, ref_frames34=frames,
+                            ref_contacts=contacts, target_xy=targets,
+                            replan_timer=jnp.asarray(1, jnp.int32))
+
+    def _sample_reset_parkour(self, lib, rng: jax.Array, n: int,
+                              fail_rates: jax.Array):
+        """One full reset batch: dm rows resampled from the dataset, mgdm
+        rows respawned on fresh standing windows; returns the states plus
+        their observations (used by both the inline reset path and
+        build_reset_pool)."""
+        nm = self.pcfg.mgdm_num
+        k_dm, k_mg = jax.random.split(rng)
+        ids, times, sim = self._sample_reset(lib, k_dm, n, fail_rates)
+        frames = contacts = targets = None
+        if nm > 0:
+            frames, contacts, targets = self._standing_windows(k_mg, nm)
+            ids = ids.at[self.n_dm:].set(lib.num_motions - 1)
+            times = times.at[self.n_dm:].set(0.0)
+        view = self._parkour_view(sim, ids, times, frames, contacts,
+                                  targets)
+        if nm > 0:
+            mg_ref = self._combined_ref(lib, view)
+            fresh = engine.create_state(
+                self.model,
+                root_pos=mg_ref.root_pos.at[..., 2].add(
+                    self.cfg.ref_height_buffer),
+                root_rot=mg_ref.root_rot, joint_rot=mg_ref.joint_rot,
+                root_vel=mg_ref.root_vel, root_ang_vel=mg_ref.root_ang_vel,
+                dof_vel=mg_ref.dof_vel)
+            sim = engine.where_state(jnp.asarray(self.mgdm_mask), fresh,
+                                     sim)
+            view = view.replace(sim=sim)
+        obs = self._compute_obs_parkour(lib, view)
+        return sim, ids, times, obs, frames, contacts, targets
+
+    def build_reset_pool(self, bundle, rng: jax.Array,
+                         fail_rates: jax.Array, n: int,
+                         k: int = 4) -> ParkourResetPool:
+        lib, _ = self._unwrap(bundle)
+        outs = [self._sample_reset_parkour(lib, jax.random.fold_in(rng, c),
+                                           n, fail_rates)
+                for c in range(k)]
+
+        def cat(i):
+            if outs[0][i] is None:
+                return None
+            return jnp.concatenate([o[i] for o in outs], axis=0)
+
+        return ParkourResetPool(
+            sim=jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                             *[o[0] for o in outs]),
+            motion_ids=cat(1), times=cat(2), obs=cat(3),
+            ref_frames34=cat(4), ref_contacts=cat(5), target_xy=cat(6),
+            k=k)
+
     def _compute_obs_parkour(self, lib, state: ParkourState) -> jax.Array:
         steps = jnp.asarray(self.cfg.tar_obs_steps, jnp.float32)
         times = state.motion_times[..., None] + steps * self.cfg.control_dt
@@ -277,7 +354,9 @@ class ParkourEnv(DeepMimicEnv):
         return super()._compute_obs(lib, state, tar=tar)
 
     def step(self, bundle, state: ParkourState,
-             actions: jax.Array) -> ParkourState:
+             actions: jax.Array,
+             reset_pool: Optional[ParkourResetPool] = None,
+             pool_slot: Optional[jax.Array] = None) -> ParkourState:
         lib, mdm_state = self._unwrap(bundle)
         cfg = self.cfg
         nm = self.pcfg.mgdm_num
@@ -349,55 +428,47 @@ class ParkourEnv(DeepMimicEnv):
                               tracking_error=track_err)
 
         # --- masked reset ---------------------------------------------------
-        rng, k_dm, k_mg = jax.random.split(state.rng, 3)
+        rng, k_reset = jax.random.split(state.rng)
         n = state.done.shape[0]
-        r_ids, r_times, r_sim = self._sample_reset(lib, k_dm, n, fail_rates)
-        reset_state = state.replace(
-            sim=r_sim, motion_ids=r_ids, motion_times=r_times,
-            start_times=r_times, time=jnp.zeros_like(state.time), rng=rng)
-        if nm > 0:
-            # mgdm rows: respawn on fresh standing windows
-            frames, contacts, targets = self._standing_windows(k_mg, nm)
-            mg_done = is_done[self.n_dm:]
-            sel3 = mg_done.reshape((-1,) + (1,) * 2)
-            reset_state = reset_state.replace(
-                ref_frames34=jnp.where(sel3, frames, state.ref_frames34),
-                ref_contacts=jnp.where(sel3, contacts, state.ref_contacts),
-                target_xy=jnp.where(mg_done[:, None], targets,
-                                    state.target_xy),
-                motion_ids=reset_state.motion_ids.at[self.n_dm:].set(
-                    lib.num_motions - 1),
-                motion_times=reset_state.motion_times.at[self.n_dm:]
-                .set(0.0),
-                start_times=reset_state.start_times.at[self.n_dm:].set(0.0))
-            mg_ref = self._combined_ref(lib, reset_state)
-            fresh = engine.create_state(
-                self.model,
-                root_pos=mg_ref.root_pos.at[..., 2].add(
-                    cfg.ref_height_buffer),
-                root_rot=mg_ref.root_rot, joint_rot=mg_ref.joint_rot,
-                root_vel=mg_ref.root_vel, root_ang_vel=mg_ref.root_ang_vel,
-                dof_vel=mg_ref.dof_vel)
-            reset_state = reset_state.replace(sim=engine.where_state(
-                jnp.asarray(self.mgdm_mask), fresh, reset_state.sim))
-        reset_state = reset_state.replace(
-            obs=self._compute_obs_parkour(lib, reset_state))
+        if reset_pool is not None:
+            r_sim, r_ids, r_times, r_obs = _pool_take(reset_pool, pool_slot,
+                                                      n)
+            if nm > 0:
+                idxm = pool_slot[self.n_dm:] * nm + jnp.arange(nm)
+                takem = lambda a: jnp.take(a, idxm, axis=0)
+                r_frames = takem(reset_pool.ref_frames34)
+                r_contacts = takem(reset_pool.ref_contacts)
+                r_targets = takem(reset_pool.target_xy)
+        else:
+            (r_sim, r_ids, r_times, r_obs, r_frames, r_contacts,
+             r_targets) = self._sample_reset_parkour(lib, k_reset, n,
+                                                     fail_rates)
 
         def sel(a, b):
             mask = is_done.reshape(is_done.shape
                                    + (1,) * (a.ndim - is_done.ndim))
             return jnp.where(mask, a, b)
 
+        new_frames, new_contacts = state.ref_frames34, state.ref_contacts
+        new_targets = state.target_xy
+        if nm > 0:
+            mg_done = is_done[self.n_dm:]
+            sel3 = mg_done.reshape((-1,) + (1,) * 2)
+            new_frames = jnp.where(sel3, r_frames, state.ref_frames34)
+            new_contacts = jnp.where(sel3, r_contacts, state.ref_contacts)
+            new_targets = jnp.where(mg_done[:, None], r_targets,
+                                    state.target_xy)
+
         return state.replace(
-            sim=jax.tree.map(sel, reset_state.sim, state.sim),
-            obs=sel(reset_state.obs, state.obs),
-            motion_ids=sel(reset_state.motion_ids, state.motion_ids),
-            motion_times=sel(reset_state.motion_times, state.motion_times),
-            start_times=sel(reset_state.start_times, state.start_times),
-            time=sel(reset_state.time, state.time),
-            ref_frames34=reset_state.ref_frames34,
-            ref_contacts=reset_state.ref_contacts,
-            target_xy=reset_state.target_xy,
+            sim=jax.tree.map(sel, r_sim, state.sim),
+            obs=sel(r_obs, state.obs),
+            motion_ids=sel(r_ids, state.motion_ids),
+            motion_times=sel(r_times, state.motion_times),
+            start_times=sel(r_times, state.start_times),
+            time=sel(jnp.zeros_like(state.time), state.time),
+            ref_frames34=new_frames,
+            ref_contacts=new_contacts,
+            target_xy=new_targets,
             replan_timer=state.replan_timer,
             done=done, reward=reward, rng=rng, terminal_obs=obs,
             terminal_times=state.time,

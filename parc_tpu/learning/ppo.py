@@ -32,6 +32,11 @@ from parc_tpu.learning.networks import ActorCritic
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
     steps_per_iter: int = 32
+    # reset-pool depth: done envs pull pre-sampled reset states/obs from a
+    # pool built once per iteration (k full batches) instead of paying a
+    # second full obs pass every step (envs/deepmimic.py ResetPool).
+    # 0 = inline resets (two obs passes, round-1 behavior).
+    reset_pool_k: int = 4
     discount: float = 0.99
     td_lambda: float = 0.95
     ppo_clip_ratio: float = 0.2
@@ -187,8 +192,17 @@ class PPOAgent:
     def rollout(self, lib, agent: AgentState,
                 exp_prob: jax.Array):
         """Collect steps_per_iter transitions; returns batch dict [T, B]."""
+        pool = None
+        pool_k = self.cfg.reset_pool_k
+        rng0 = agent.rng
+        n = agent.env_state.done.shape[0]
+        if pool_k > 0 and hasattr(self.env, "build_reset_pool"):
+            rng0, k_pool = jax.random.split(rng0)
+            pool = self.env.build_reset_pool(
+                lib, k_pool, agent.env_state.fail_rates, n, k=pool_k)
+
         def step_fn(carry, _):
-            env_state, rng = carry
+            env_state, rng, reset_counts = carry
             rng, k_s, k_m = jax.random.split(rng, 3)
             obs = env_state.obs
             norm_obs = norm_lib.normalize(agent.obs_norm, obs)
@@ -201,7 +215,14 @@ class PPOAgent:
             logp = dist.log_prob(mean, logstd, norm_a)
             action = self._action_from_norm(norm_a)
 
-            new_env_state = self.env.step(lib, env_state, action)
+            if pool is not None:
+                new_env_state = self.env.step(
+                    lib, env_state, action, reset_pool=pool,
+                    pool_slot=reset_counts % pool_k)
+                reset_counts = reset_counts + (
+                    new_env_state.done != DoneFlags.NULL).astype(jnp.int32)
+            else:
+                new_env_state = self.env.step(lib, env_state, action)
             trans = {
                 "obs": obs,
                 "norm_a": norm_a,
@@ -213,11 +234,11 @@ class PPOAgent:
                 "ep_time": new_env_state.terminal_times,
                 "tracking_error": new_env_state.tracking_error,
             }
-            return (new_env_state, rng), trans
+            return (new_env_state, rng, reset_counts), trans
 
-        (env_state, rng), batch = jax.lax.scan(
-            step_fn, (agent.env_state, agent.rng), None,
-            length=self.cfg.steps_per_iter)
+        (env_state, rng, _), batch = jax.lax.scan(
+            step_fn, (agent.env_state, rng0, jnp.zeros((n,), jnp.int32)),
+            None, length=self.cfg.steps_per_iter)
         return env_state, rng, batch
 
     # ------------------------------------------------------------------

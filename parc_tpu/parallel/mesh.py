@@ -15,6 +15,7 @@ from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -156,17 +157,35 @@ def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
                               env_state)
     lib_spec = jax.tree.map(lambda x: P(), lib)
 
+    pool_k = 4
+
     def local_fn(lib, es, params, obs_norm):
         didx = jax.lax.axis_index("data")
         es = es.replace(rng=jax.random.fold_in(es.rng, didx))
+        n_local = es.done.shape[0]
+        # per-shard reset pool (learning/ppo.py rollout): one obs pass per
+        # step; the pool is built on the local batch so the Pallas physics
+        # kernel stays legal under shard_map
+        pool = (env.build_reset_pool(lib, es.rng, es.fail_rates, n_local,
+                                     k=pool_k)
+                if hasattr(env, "build_reset_pool") else None)
 
-        def step_fn(es, _):
+        def step_fn(carry, _):
+            es, counts = carry
             norm_obs = norm_lib.normalize(obs_norm, es.obs)
             mean, _ = net.apply(params, norm_obs, method="actor")
-            es = env.step(lib, es, a_mid + a_scale * mean)
-            return es, es.reward.mean()
+            act = a_mid + a_scale * mean
+            if pool is not None:
+                es = env.step(lib, es, act, reset_pool=pool,
+                              pool_slot=counts % pool_k)
+                counts = counts + (es.done != 0).astype(counts.dtype)
+            else:
+                es = env.step(lib, es, act)
+            return (es, counts), es.reward.mean()
 
-        es, rewards = jax.lax.scan(step_fn, es, None, length=num_steps)
+        counts0 = jnp.zeros((n_local,), jnp.int32)
+        (es, _), rewards = jax.lax.scan(step_fn, (es, counts0), None,
+                                        length=num_steps)
         return es, jax.lax.pmean(rewards.mean(), "data")
 
     fn = shard_map(
