@@ -170,6 +170,10 @@ def _torque_cols(model: cm.CharModel, params, joint_rot_c, dv, act, qtar_c,
                 d_extra.append(h * kd_eff)
     tau = [clip(t, d) for d, t in enumerate(tau)]
 
+    if params.hard_joint_limits:
+        # hard mode: limits enforced by projection in _limit_project_cols
+        return tau, d_extra
+
     # joint-limit penalty springs
     lo = np.asarray(model.dof_limits_lower, np.float64)
     hi = np.asarray(model.dof_limits_upper, np.float64)
@@ -182,6 +186,62 @@ def _torque_cols(model: cm.CharModel, params, joint_rot_c, dv, act, qtar_c,
                  - params.limit_damping * jnp.where(viol, dv[d], 0.0))
         out.append(tau[d] + t_lim)
     return out, d_extra
+
+
+def _limit_project_cols(model: cm.CharModel, joint_rot_c, dv):
+    """Column port of engine.project_joint_limits (hard joint limits),
+    including the chart-boundary guard (joints with exp-map norm within
+    0.2 of pi are left untouched)."""
+    lo = np.asarray(model.dof_limits_lower, np.float64)
+    hi = np.asarray(model.dof_limits_upper, np.float64)
+    dof_map = np.asarray(model.dof_map)
+    jq_exp = [_quat_to_exp_map_cols(joint_rot_c[j])
+              for j in range(model.num_bodies - 1)]
+    dof_pos = _project_to_dof_cols(model, jq_exp)
+    # per-joint chart-safety (exp-map norm away from the pi boundary)
+    exp_j = _joint_exp_maps_cols(model, dof_pos)
+    zero = dv[0] * 0.0
+
+    def arr(c):
+        return zero + c if isinstance(c, float) else c
+
+    safe = []
+    for j in range(model.num_bodies - 1):
+        w = [arr(c) for c in exp_j[j]]
+        nrm = jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2])
+        safe.append(nrm < (np.pi - 0.2))
+    # dof safety = safety of its owning joint
+    safe_dof = [None] * model.dof_size
+    for j in range(model.num_bodies - 1):
+        for d in range(model.dof_size):
+            if np.any(dof_map[j, :, d] != 0.0):
+                safe_dof[d] = (safe[j] if safe_dof[d] is None
+                               else safe_dof[d] | safe[j])
+    clamped, viol, dv_new = [], [], []
+    for d in range(model.dof_size):
+        h_ = dof_pos[d] >= float(hi[d])
+        l_ = dof_pos[d] <= float(lo[d])
+        sd = safe_dof[d] if safe_dof[d] is not None else (zero > 1)
+        viol.append((h_ | l_) & sd)
+        clamped.append(jnp.clip(dof_pos[d], float(lo[d]), float(hi[d])))
+        v = jnp.where(h_ & sd & (dv[d] > 0), 0.0, dv[d])
+        dv_new.append(jnp.where(l_ & sd & (v < 0), 0.0, v))
+    cl_exp = _joint_exp_maps_cols(model, clamped)
+    joint_new = []
+    for j in range(model.num_bodies - 1):
+        owned = [d for d in range(model.dof_size)
+                 if np.any(dof_map[j, :, d] != 0.0)]
+        if not owned:
+            joint_new.append(joint_rot_c[j])
+            continue
+        vj = viol[owned[0]]
+        for d in owned[1:]:
+            vj = vj | viol[d]
+        q_new = _quat_normalize_cols(_exp_map_to_quat_cols(
+            [arr(w) for w in cl_exp[j]]))
+        joint_new.append([jnp.where(vj, q_new[c], joint_rot_c[j][c])
+                          for c in range(4)])
+    return joint_new, dv_new
 
 
 def _integrate_cols(model: cm.CharModel, root_pos, root_rot, root_vel,
@@ -217,19 +277,10 @@ def _integrate_cols(model: cm.CharModel, root_pos, root_rot, root_vel,
 
 
 class _Layout:
-    """Static row layout of the packed (C, N) kernel arrays."""
+    """Static row layout of a packed (C, N) kernel array."""
 
-    def __init__(self, model: cm.CharModel, with_inputs: bool):
-        J, D = model.num_bodies, model.dof_size
-        self.fields = [
-            ("root_pos", 3), ("root_rot", 4), ("root_vel", 3),
-            ("root_ang_vel", 3), ("joint_rot", 4 * (J - 1)),
-            ("dof_vel", D), ("body_pos", 3 * J), ("body_rot", 4 * J),
-            ("body_vel", 3 * J), ("body_ang_vel", 3 * J),
-        ]
-        if with_inputs:
-            self.fields += [("f_ext", 6 * J), ("act", D),
-                            ("qtar", 4 * (J - 1))]
+    def __init__(self, fields):
+        self.fields = list(fields)
         self.offsets = {}
         off = 0
         for name, n in self.fields:
@@ -240,6 +291,25 @@ class _Layout:
     def rows(self, name):
         o, n = self.offsets[name]
         return range(o, o + n)
+
+
+def _state_layout(model: cm.CharModel) -> _Layout:
+    J, D = model.num_bodies, model.dof_size
+    return _Layout([
+        ("root_pos", 3), ("root_rot", 4), ("root_vel", 3),
+        ("root_ang_vel", 3), ("joint_rot", 4 * (J - 1)),
+        ("dof_vel", D), ("body_pos", 3 * J), ("body_rot", 4 * J),
+        ("body_vel", 3 * J), ("body_ang_vel", 3 * J),
+    ])
+
+
+def _fext_layout(model: cm.CharModel) -> _Layout:
+    return _Layout([("f_ext", 6 * model.num_bodies)])
+
+
+def _const_layout(model: cm.CharModel) -> _Layout:
+    J, D = model.num_bodies, model.dof_size
+    return _Layout([("act", D), ("qtar", 4 * (J - 1))])
 
 
 def _pack(layout: _Layout, arrays: dict, n: int) -> jax.Array:
@@ -257,32 +327,33 @@ def _pack(layout: _Layout, arrays: dict, n: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _substep_kernel(model, params, h, lin, lout, in_ref, out_ref):
+def _substep_kernel(model, params, h, lstate, lfext, lconst,
+                    state_ref, fext_ref, const_ref, out_ref):
     J, D = model.num_bodies, model.dof_size
 
-    def rd(name):
-        o, n = lin.offsets[name]
-        return [in_ref[o + i] for i in range(n)]
+    def rd(ref, layout, name):
+        o, n = layout.offsets[name]
+        return [ref[o + i] for i in range(n)]
 
-    root_pos = rd("root_pos")
-    root_rot = rd("root_rot")
-    root_vel = rd("root_vel")
-    root_ang_vel = rd("root_ang_vel")
-    jr_flat = rd("joint_rot")
+    root_pos = rd(state_ref, lstate, "root_pos")
+    root_rot = rd(state_ref, lstate, "root_rot")
+    root_vel = rd(state_ref, lstate, "root_vel")
+    root_ang_vel = rd(state_ref, lstate, "root_ang_vel")
+    jr_flat = rd(state_ref, lstate, "joint_rot")
     joint_rot_c = [jr_flat[4 * j:4 * j + 4] for j in range(J - 1)]
-    dv = rd("dof_vel")
-    bp_flat = rd("body_pos")
-    br_flat = rd("body_rot")
-    bv_flat = rd("body_vel")
-    ba_flat = rd("body_ang_vel")
+    dv = rd(state_ref, lstate, "dof_vel")
+    bp_flat = rd(state_ref, lstate, "body_pos")
+    br_flat = rd(state_ref, lstate, "body_rot")
+    bv_flat = rd(state_ref, lstate, "body_vel")
+    ba_flat = rd(state_ref, lstate, "body_ang_vel")
     body_pos_c = [bp_flat[3 * j:3 * j + 3] for j in range(J)]
     body_rot_c = [br_flat[4 * j:4 * j + 4] for j in range(J)]
     body_vel_c = [bv_flat[3 * j:3 * j + 3] for j in range(J)]
     body_ang_c = [ba_flat[3 * j:3 * j + 3] for j in range(J)]
-    fe_flat = rd("f_ext")
+    fe_flat = rd(fext_ref, lfext, "f_ext")
     f_ext_c = [fe_flat[6 * j:6 * j + 6] for j in range(J)]
-    act = rd("act")
-    qt_flat = rd("qtar")
+    act = rd(const_ref, lconst, "act")
+    qt_flat = rd(const_ref, lconst, "qtar")
     qtar_c = [qt_flat[4 * j:4 * j + 4] for j in range(J - 1)]
 
     tau, d_extra = _torque_cols(model, params, joint_rot_c, dv, act,
@@ -294,6 +365,8 @@ def _substep_kernel(model, params, h, lin, lout, in_ref, out_ref):
      dv_new) = _integrate_cols(model, root_pos, root_rot, root_vel,
                                root_ang_vel, joint_rot_c, dv, root_acc,
                                qdd, h)
+    if params.hard_joint_limits:
+        joint_new, dv_new = _limit_project_cols(model, joint_new, dv_new)
     fk_pos, fk_quat, fk_lin, fk_ang = aba_soa.fk_vel_cols(
         model, pos_new, rot_new,
         joint_new, vel_new, ang_new, dv_new)
@@ -301,7 +374,7 @@ def _substep_kernel(model, params, h, lin, lout, in_ref, out_ref):
     zero = root_pos[0] * 0.0
 
     def wr(name, cols):
-        o, _ = lout.offsets[name]
+        o, _ = lstate.offsets[name]
         for i, c in enumerate(cols):
             out_ref[o + i] = zero + c if isinstance(c, float) else c
 
@@ -322,14 +395,22 @@ def control_step_pallas(model: cm.CharModel, params, terrain, state,
                         terrain_idx: Optional[jax.Array] = None,
                         interpret: bool = False):
     """Drop-in replacement for engine.control_step on TPU (contact in XLA,
-    everything else fused in one Pallas kernel per substep)."""
+    everything else fused in one Pallas kernel per substep).
+
+    v2: the state stays component-major (packed (C, N)) ACROSS all
+    ``sim_steps x substeps`` kernel calls — one pack before and one unpack
+    after the whole control step.  Between substeps only the body arrays
+    (13J rows) are transposed out for the XLA contact pass, and only
+    f_ext (6J rows) is packed back in; the PD targets are packed once."""
     from parc_tpu.physics import engine
 
     n = state.root_pos.shape[0]
     n_pad = -(-n // _BLOCK) * _BLOCK
     h = params.dt / params.substeps
-    lin = _Layout(model, with_inputs=True)
-    lout = _Layout(model, with_inputs=False)
+    lstate = _state_layout(model)
+    lfext = _fext_layout(model)
+    lconst = _const_layout(model)
+    J = model.num_bodies
 
     if params.control_mode in ("pd_implicit", "pd_exp"):
         qtar = cm.dof_to_rot(model, pd_target_dof)
@@ -338,17 +419,20 @@ def control_step_pallas(model: cm.CharModel, params, terrain, state,
                          + (model.num_bodies - 1, 4))
 
     grid = n_pad // _BLOCK
-    kernel = functools.partial(_substep_kernel, model, params, h, lin, lout)
+    kernel = functools.partial(_substep_kernel, model, params, h,
+                               lstate, lfext, lconst)
+
+    def spec(layout):
+        return pl.BlockSpec((layout.total, 1, 8, 128),
+                            lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((lout.total, grid, 8, 128),
+        out_shape=jax.ShapeDtypeStruct((lstate.total, grid, 8, 128),
                                        jnp.float32),
-        in_specs=[pl.BlockSpec((lin.total, 1, 8, 128),
-                               lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((lout.total, 1, 8, 128),
-                               lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[spec(lstate), spec(lfext), spec(lconst)],
+        out_specs=spec(lstate),
         grid=(grid,),
         interpret=interpret,
     )
@@ -359,44 +443,57 @@ def control_step_pallas(model: cm.CharModel, params, terrain, state,
         reps = jnp.broadcast_to(a[0:1], (n_pad - n,) + a.shape[1:])
         return jnp.concatenate([a, reps], axis=0)
 
-    st = state
+    def to_blocks(packed, layout):
+        return packed.reshape(layout.total, grid, 8, 128)
+
+    state_p = to_blocks(_pack(lstate, {
+        "root_pos": pad(state.root_pos), "root_rot": pad(state.root_rot),
+        "root_vel": pad(state.root_vel),
+        "root_ang_vel": pad(state.root_ang_vel),
+        "joint_rot": pad(state.joint_rot), "dof_vel": pad(state.dof_vel),
+        "body_pos": pad(state.body_pos), "body_rot": pad(state.body_rot),
+        "body_vel": pad(state.body_vel),
+        "body_ang_vel": pad(state.body_ang_vel),
+    }, n_pad), lstate)
+    const_p = to_blocks(_pack(lconst, {
+        "act": pad(pd_target_dof), "qtar": pad(qtar),
+    }, n_pad), lconst)
+    tidx_p = pad(terrain_idx) if terrain_idx is not None else None
+
+    def un(flat2d, layout, name, count, shape):
+        o, k = layout.offsets[name]
+        return flat2d[o:o + k].T.reshape((count,) + shape)
+
     net_accum = jnp.zeros_like(state.contact_forces)
     for _ in range(sim_steps):
-        step_net = jnp.zeros_like(state.contact_forces)
+        step_net = jnp.zeros((n_pad, J, 3), state.contact_forces.dtype)
         for _ in range(params.substeps):
+            flat = state_p.reshape(lstate.total, n_pad)
+            # contact reads only the body arrays (engine
+            # compute_contact_forces touches no other state field)
+            contact_view = state.replace(
+                body_pos=un(flat, lstate, "body_pos", n_pad, (J, 3)),
+                body_rot=un(flat, lstate, "body_rot", n_pad, (J, 4)),
+                body_vel=un(flat, lstate, "body_vel", n_pad, (J, 3)),
+                body_ang_vel=un(flat, lstate, "body_ang_vel", n_pad,
+                                (J, 3)))
             f_ext, net = engine.compute_contact_forces(
-                model, params, terrain, st, terrain_idx)
+                model, params, terrain, contact_view, tidx_p)
             step_net = step_net + net
-            packed = _pack(lin, {
-                "root_pos": pad(st.root_pos), "root_rot": pad(st.root_rot),
-                "root_vel": pad(st.root_vel),
-                "root_ang_vel": pad(st.root_ang_vel),
-                "joint_rot": pad(st.joint_rot), "dof_vel": pad(st.dof_vel),
-                "body_pos": pad(st.body_pos), "body_rot": pad(st.body_rot),
-                "body_vel": pad(st.body_vel),
-                "body_ang_vel": pad(st.body_ang_vel),
-                "f_ext": pad(f_ext), "act": pad(pd_target_dof),
-                "qtar": pad(qtar),
-            }, n_pad)
-            out = call(packed.reshape(lin.total, grid, 8, 128))
-            out = out.reshape(lout.total, n_pad)[:, :n]
+            fext_p = to_blocks(_pack(lfext, {"f_ext": f_ext}, n_pad), lfext)
+            state_p = call(state_p, fext_p, const_p)
+        net_accum = step_net[:n] / params.substeps
 
-            def un(name, shape):
-                o, k = lout.offsets[name]
-                return out[o:o + k].T.reshape((n,) + shape)
-
-            J = model.num_bodies
-            st = st.replace(
-                root_pos=un("root_pos", (3,)),
-                root_rot=un("root_rot", (4,)),
-                root_vel=un("root_vel", (3,)),
-                root_ang_vel=un("root_ang_vel", (3,)),
-                joint_rot=un("joint_rot", (J - 1, 4)),
-                dof_vel=un("dof_vel", (model.dof_size,)),
-                body_pos=un("body_pos", (J, 3)),
-                body_rot=un("body_rot", (J, 4)),
-                body_vel=un("body_vel", (J, 3)),
-                body_ang_vel=un("body_ang_vel", (J, 3)),
-            )
-        net_accum = step_net / params.substeps
-    return st.replace(contact_forces=net_accum)
+    flat = state_p.reshape(lstate.total, n_pad)[:, :n]
+    return state.replace(
+        root_pos=un(flat, lstate, "root_pos", n, (3,)),
+        root_rot=un(flat, lstate, "root_rot", n, (4,)),
+        root_vel=un(flat, lstate, "root_vel", n, (3,)),
+        root_ang_vel=un(flat, lstate, "root_ang_vel", n, (3,)),
+        joint_rot=un(flat, lstate, "joint_rot", n, (J - 1, 4)),
+        dof_vel=un(flat, lstate, "dof_vel", n, (model.dof_size,)),
+        body_pos=un(flat, lstate, "body_pos", n, (J, 3)),
+        body_rot=un(flat, lstate, "body_rot", n, (J, 4)),
+        body_vel=un(flat, lstate, "body_vel", n, (J, 3)),
+        body_ang_vel=un(flat, lstate, "body_ang_vel", n, (J, 3)),
+        contact_forces=net_accum)

@@ -38,7 +38,7 @@ def test_quat_exp_map_cols_matches_rot():
 
 def test_layout_pack_roundtrip():
     model = humanoid_spec().build()
-    lay = ps._Layout(model, with_inputs=False)
+    lay = ps._state_layout(model)
     n = 5
     rng = np.random.default_rng(1)
     arrays = {
