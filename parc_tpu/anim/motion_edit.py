@@ -211,3 +211,164 @@ def terrain_from_motion(model: cm.CharModel, frames34: np.ndarray,
         hf=np.full((dims[0], dims[1]), floor, np.float32),
         min_point=lo.astype(np.float32),
         dxdy=np.asarray([dx, dx], np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Spatial / temporal editing ops
+# (reference parity: zmotion_editing_tools/motion_edit_lib.py:291-497
+#  stride/cut/stitch, :434-499 translate/rotate/heading,
+#  :749-787 foot-penetration correction, :1165-1240 spatial variation)
+# ---------------------------------------------------------------------------
+
+
+def stride_motion(frames34: np.ndarray, start: int, end: int,
+                  stride: int) -> np.ndarray:
+    """Keep every ``stride``-th frame inside [start, end); frames outside
+    the range are untouched (speeds up a segment)."""
+    frames34 = np.asarray(frames34)
+    return np.concatenate([frames34[:start], frames34[start:end:stride],
+                           frames34[end + 1:]], axis=0)
+
+
+def cut_motion(frames34: np.ndarray, start: int, end: int) -> np.ndarray:
+    """Remove frames [start, end] entirely."""
+    frames34 = np.asarray(frames34)
+    return np.concatenate([frames34[:start], frames34[end + 1:]], axis=0)
+
+
+def stitch_motions(frames_a: np.ndarray, frames_b: np.ndarray
+                   ) -> np.ndarray:
+    """Concatenate two (already sliced) motions back to back."""
+    return np.concatenate([np.asarray(frames_a), np.asarray(frames_b)],
+                          axis=0)
+
+
+def translate_motion(frames34: np.ndarray, translation) -> np.ndarray:
+    frames34 = np.array(frames34, copy=True)
+    frames34[:, 0:3] += np.asarray(translation)
+    return frames34
+
+
+def rotate_motion(frames34: np.ndarray, quat, origin) -> np.ndarray:
+    """Rigidly rotate a whole motion by ``quat`` about world point
+    ``origin`` (root positions orbit, root orientations compose)."""
+    frames34 = np.asarray(frames34)
+    q = jnp.broadcast_to(jnp.asarray(quat), (frames34.shape[0], 4))
+    pos = jnp.asarray(frames34[:, 0:3]) - jnp.asarray(origin)
+    new_pos = rot.quat_rotate(q, pos) + jnp.asarray(origin)
+    root_q = rot.exp_map_to_quat(jnp.asarray(frames34[:, 3:6]))
+    new_em = rot.quat_to_exp_map(rot.quat_mul(q, root_q))
+    out = np.array(frames34, copy=True)
+    out[:, 0:3] = np.asarray(new_pos)
+    out[:, 3:6] = np.asarray(new_em)
+    return out
+
+
+def change_heading_at_frame(frames34: np.ndarray, new_heading: float,
+                            idx: int) -> np.ndarray:
+    """Re-heading: rotate the whole motion about frame ``idx``'s root xy so
+    that frame's heading becomes ``new_heading``."""
+    frames34 = np.asarray(frames34)
+    q_idx = rot.exp_map_to_quat(jnp.asarray(frames34[idx, 3:6]))
+    dq = rot.quat_mul(rot.heading_to_quat(jnp.asarray(new_heading)),
+                      rot.calc_heading_quat_inv(q_idx))
+    return rotate_motion(frames34, np.asarray(dq), frames34[idx, 0:3])
+
+
+def move_xy_root_to_origin(frames34: np.ndarray) -> np.ndarray:
+    """Translate so the first frame's root xy is at the origin (z kept)."""
+    t = -np.asarray(frames34)[0, 0:3].copy()
+    t[2] = 0.0
+    return translate_motion(frames34, t)
+
+
+def scale_motion_segment(frames34: np.ndarray, scale: float, start: int,
+                         end: int) -> np.ndarray:
+    """Scale the xy displacement of frames [start, end] about frame
+    ``start``; later frames shift to stay continuous."""
+    out = np.array(frames34, copy=True)
+    disp = out[end, 0:2] - out[start, 0:2]
+    new_disp = scale * disp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.nan_to_num(new_disp / disp, nan=1.0, posinf=1.0,
+                              neginf=1.0)
+    canon = out[start, 0:2].copy()
+    out[start:end + 1, 0:2] = (out[start:end + 1, 0:2] - canon) * ratio + canon
+    out[end + 1:, 0:2] += new_disp - disp
+    return out
+
+
+def _contact_chain_midpoints(contacts_1d: np.ndarray) -> np.ndarray:
+    """Midpoint frame index of every maximal run of contact==1."""
+    c = np.asarray(contacts_1d) > 0
+    if not c.any():
+        return np.zeros((0,), np.int64)
+    d = np.diff(c.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0]
+    if c[0]:
+        starts = np.concatenate([[0], starts])
+    if c[-1]:
+        ends = np.concatenate([ends, [len(c) - 1]])
+    return (starts + ends) // 2
+
+
+def foot_plant_frames(model: cm.CharModel, contacts: np.ndarray
+                      ) -> np.ndarray:
+    """Sorted unique midpoints of both feet's contact runs."""
+    ids = [i for i, n in enumerate(model.body_names) if n.endswith("foot")]
+    mids = np.concatenate([_contact_chain_midpoints(contacts[:, i])
+                           for i in ids]) if ids else np.zeros(0, np.int64)
+    return np.unique(mids)
+
+
+def spatially_vary_motion(model: cm.CharModel, frames34: np.ndarray,
+                          contacts: np.ndarray, rng: np.random.Generator,
+                          min_scale: float = 0.8, max_scale: float = 1.3,
+                          max_angle_deg: float = 30.0) -> np.ndarray:
+    """Augmentation: random xy stretch/squish + heading perturbation of
+    each between-footplant segment (terrain-aware pipelines re-derive the
+    terrain from the varied motion afterwards)."""
+    out = np.array(frames34, copy=True)
+    plants = foot_plant_frames(model, contacts)
+    for i in range(len(plants) - 1):
+        s, e = int(plants[i]), int(plants[i + 1])
+        if e - s <= 1:
+            continue
+        out = scale_motion_segment(out, rng.uniform(min_scale, max_scale),
+                                   s, e)
+        ang = rng.uniform(-max_angle_deg, max_angle_deg) * np.pi / 180.0
+        q = np.asarray(rot.heading_to_quat(jnp.asarray(ang)))
+        out[s:] = rotate_motion(out[s:], q, out[s, 0:3].copy())
+    return out
+
+
+def correct_foot_ground_pen(model: cm.CharModel, frames34: np.ndarray,
+                            ground_height: float = 0.0) -> np.ndarray:
+    """Lift each frame's root so no foot contact sample penetrates the
+    ground plane (per-frame z shift; frames already above are untouched).
+
+    Uses the model's contact sample spheres (offset + radius), the same
+    geometry the physics contact model sees."""
+    frames34 = jnp.asarray(frames34)
+    root_pos = frames34[:, 0:3]
+    root_rot = rot.exp_map_to_quat(frames34[:, 3:6])
+    joint_rot = cm.dof_to_rot(model, frames34[:, 6:])
+    body_pos, body_rot = cm.forward_kinematics(model, root_pos, root_rot,
+                                               joint_rot)
+    foot_ids = np.asarray([i for i, n in enumerate(model.body_names)
+                           if n.endswith("foot")])
+    bidx = np.asarray(model.contact_point_body)
+    sel = np.isin(bidx, foot_ids)
+    bsel = jnp.asarray(bidx[sel])
+    offs = jnp.asarray(np.asarray(model.contact_point_offset)[sel])
+    rads = jnp.asarray(np.asarray(model.contact_point_radius)[sel])
+    pts = (body_pos[:, bsel]
+           + rot.quat_rotate(body_rot[:, bsel],
+                             jnp.broadcast_to(offs, (frames34.shape[0],)
+                                              + offs.shape)))
+    min_z = jnp.min(pts[..., 2] - rads, axis=-1)
+    lift = jnp.maximum(ground_height - min_z, 0.0)
+    out = np.array(np.asarray(frames34), copy=True)
+    out[:, 2] += np.asarray(lift)
+    return out

@@ -731,3 +731,81 @@ def test_flatten_4x4_near_edge():
     out2 = terrain_lib.flatten_4x4_near_edge(hf, (0, 0), -1.0)
     assert (out2[0:2, 0:2] == -1.0).all()
     assert out2[9, 9] == hf[9, 9]
+
+
+# ---------------------------------------------------------------------------
+# Spatial/temporal motion edit ops (motion_edit_lib parity)
+# ---------------------------------------------------------------------------
+
+
+def test_translate_rotate_heading_roundtrip(model):
+    import jax.numpy as jnp
+    from parc_tpu.data.synthetic import walking_clip
+    from parc_tpu.utils import rotation as rot
+    f = walking_clip(seed=3).frames
+
+    # translate then undo
+    t = np.asarray([1.0, -2.0, 0.5])
+    f2 = motion_edit.translate_motion(f, t)
+    np.testing.assert_allclose(f2[:, 0:3], f[:, 0:3] + t, atol=1e-6)
+
+    # rotate 90 deg about origin: x axis -> y axis
+    q = np.asarray(rot.heading_to_quat(jnp.asarray(np.pi / 2)))
+    f3 = motion_edit.rotate_motion(f, q, np.zeros(3))
+    np.testing.assert_allclose(f3[:, 1], f[:, 0], atol=1e-5)
+    np.testing.assert_allclose(f3[:, 0], -f[:, 1], atol=1e-5)
+
+    # change_heading_at_frame pins the heading of the chosen frame
+    f4 = motion_edit.change_heading_at_frame(f, 1.1, 5)
+    q5 = rot.exp_map_to_quat(jnp.asarray(f4[5, 3:6]))
+    assert abs(float(rot.calc_heading(q5)) - 1.1) < 1e-4
+    # pivot frame root xy unchanged
+    np.testing.assert_allclose(f4[5, 0:3], f[5, 0:3], atol=1e-5)
+
+    # move to origin
+    f5 = motion_edit.move_xy_root_to_origin(f4)
+    np.testing.assert_allclose(f5[0, 0:2], 0.0, atol=1e-6)
+    assert abs(f5[0, 2] - f4[0, 2]) < 1e-6
+
+
+def test_cut_stride_stitch_scale(model):
+    from parc_tpu.data.synthetic import walking_clip
+    f = walking_clip(seed=4).frames
+    n = f.shape[0]
+
+    cut = motion_edit.cut_motion(f, 10, 19)
+    assert cut.shape[0] == n - 10
+    np.testing.assert_allclose(cut[10], f[20])
+
+    strided = motion_edit.stride_motion(f, 10, 30, 2)
+    assert strided.shape[0] < n
+
+    st = motion_edit.stitch_motions(f[:20], f[20:])
+    np.testing.assert_allclose(st, f)
+
+    scaled = motion_edit.scale_motion_segment(f, 1.5, 10, 30)
+    disp_old = f[30, 0:2] - f[10, 0:2]
+    disp_new = scaled[30, 0:2] - scaled[10, 0:2]
+    np.testing.assert_allclose(disp_new, 1.5 * disp_old, atol=1e-5)
+    # continuity: post-segment displacement unchanged
+    np.testing.assert_allclose(scaled[-1, 0:2] - scaled[30, 0:2],
+                               f[-1, 0:2] - f[30, 0:2], atol=1e-5)
+
+
+def test_spatially_vary_and_pen_correction(model):
+    from parc_tpu.data.synthetic import walking_clip
+    clip = walking_clip(seed=5)
+    rng = np.random.default_rng(0)
+    varied = motion_edit.spatially_vary_motion(model, clip.frames,
+                                               clip.contacts, rng)
+    assert varied.shape == clip.frames.shape
+    # joint dofs untouched by spatial variation
+    np.testing.assert_allclose(varied[:, 6:], clip.frames[:, 6:], atol=1e-6)
+    assert not np.allclose(varied[:, 0:2], clip.frames[:, 0:2])
+
+    # push the clip below ground; correction lifts every frame back out
+    sunk = motion_edit.translate_motion(clip.frames, [0.0, 0.0, -0.5])
+    fixed = motion_edit.correct_foot_ground_pen(model, sunk)
+    assert np.all(fixed[:, 2] >= sunk[:, 2] - 1e-6)
+    refixed = motion_edit.correct_foot_ground_pen(model, fixed)
+    np.testing.assert_allclose(refixed[:, 2], fixed[:, 2], atol=2e-3)
