@@ -42,11 +42,15 @@ def train(mdm: MDM, lib: ml.MotionLib,
           max_epochs: Optional[int] = None) -> MDMState:
     logger = Logger(output_file=f"{cfg.output_dir}/log.tsv",
                     use_wandb=cfg.use_wandb)
+    start_epoch = 0
     if state is None:
         state = mdm.init(lib, jax.random.PRNGKey(seed))
         start = ckpt_lib.latest_step(f"{cfg.output_dir}/checkpoints")
         if start is not None:
             state = ckpt_lib.restore(f"{cfg.output_dir}/checkpoints", state)
+            # resume epoch numbering where the checkpoint left off so the
+            # retained-checkpoint history keeps accumulating distinct steps
+            start_epoch = start
             print(f"resumed MDM from checkpoint epoch {start}")
 
     def epoch_fn(lib_, state):
@@ -61,7 +65,8 @@ def train(mdm: MDM, lib: ml.MotionLib,
 
     t_start = time.time()
     epochs = cfg.epochs if max_epochs is None else max_epochs
-    for epoch in range(epochs):
+    epochs = start_epoch + epochs
+    for epoch in range(start_epoch, epochs):
         if cfg.profile_epochs and epoch == cfg.profile_start:
             jax.profiler.start_trace(f"{cfg.output_dir}/profile")
         t0 = time.time()
