@@ -66,7 +66,13 @@ def _pool_take(pool: ResetPool, slot: jax.Array, n: int):
 
     One contiguous-row gather per env (rows are whole obs/state vectors),
     NOT the many-small-points pattern that serializes on TPU
-    (utils/gather.py applies to the latter)."""
+    (utils/gather.py applies to the latter).
+
+    Measured dead end (round 2): packing all leaves + obs into one
+    [k*N, P] matrix so the take is a single gather benched 1.8x SLOWER
+    end-to-end @4096 envs — XLA fuses the per-leaf gathers into their
+    consumers, while the packed row materializes a large intermediate
+    plus relayout slices.  Keep the per-leaf form."""
     idx = slot * n + jnp.arange(n, dtype=slot.dtype)
     take = lambda a: jnp.take(a, idx, axis=0)
     return (jax.tree.map(take, pool.sim), take(pool.motion_ids),

@@ -79,11 +79,19 @@ def stage_kin_gen(cfg: dict):
     mdm_dir = cfg.get("mdm_dir")
     if mdm_dir:
         state = ckpt_lib.restore(f"{mdm_dir}/checkpoints", state)
+    # multi-job sharding (reference: parc_0 writes num_batches_of_motions
+    # kin-gen job configs for separate machines): batch_idx selects this
+    # job's disjoint seed slice; all jobs share out_dir via name prefixes
+    num_motions = cfg.get("num_motions", 10)
+    batch_idx = int(cfg.get("batch_idx", 0))
+    num_batches = int(cfg.get("num_batches", 1))
+    prefix = f"b{batch_idx}_" if num_batches > 1 else ""
     paths = kin_gen.run_kin_gen(
-        mdm, state, cfg.get("num_motions", 10),
+        mdm, state, num_motions,
         cfg.get("out_dir", "output/kin_gen"),
         _dataclass_from_dict(kin_gen.KinGenConfig, cfg),
-        seed=cfg.get("seed", 0))
+        seed=cfg.get("seed", 0) + batch_idx * num_motions,
+        name_prefix=prefix)
     print(f"generated {len(paths)} clips")
 
 
@@ -215,7 +223,8 @@ def stage_setup_iter(cfg: dict):
         "kin_gen": {"dataset": os.path.join(base, "motions.yaml"),
                     "mdm_dir": os.path.join(base, "mdm"),
                     "out_dir": os.path.join(base, "kin_gen"),
-                    "num_motions": cfg.get("num_motions", 50)},
+                    "num_motions": cfg.get("num_motions", 50),
+                    "num_batches": cfg.get("num_batches", 1)},
         "train_tracker": {"dataset": os.path.join(base, "motions+gen.yaml"),
                           "out_dir": os.path.join(base, "tracker")},
         "record": {"dataset": os.path.join(base, "motions+gen.yaml"),
@@ -378,6 +387,8 @@ def main(argv=None):
     p.add_argument("--root", default=None)
     p.add_argument("--iter", type=int, default=None)
     p.add_argument("--num_motions", "-n", type=int, default=None)
+    p.add_argument("--batch_idx", type=int, default=None)
+    p.add_argument("--num_batches", type=int, default=None)
     p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--max_iters", type=int, default=None)
     p.add_argument("--max_epochs", type=int, default=None)

@@ -175,16 +175,21 @@ def _motion_body_points(model: cm.CharModel, frames34: jax.Array):
 
 
 def run_kin_gen(mdm: MDM, state: MDMState, num_motions: int, out_dir: str,
-                cfg: KinGenConfig = KinGenConfig(), seed: int = 0
-                ) -> List[str]:
-    """Generate a batch of motions into out_dir (class = terrain style)."""
+                cfg: KinGenConfig = KinGenConfig(), seed: int = 0,
+                name_prefix: str = "") -> List[str]:
+    """Generate a batch of motions into out_dir (class = terrain style).
+
+    ``name_prefix`` namespaces output files so several independent jobs
+    (the reference shards kin-gen into num_batches_of_motions machine-level
+    jobs, parc_0_setup_iter.py:21-24) can write into one directory."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     idx = 0
     for i in range(num_motions):
         clips = gen_motion_and_terrain(mdm, state, cfg, seed + i)
         for clip in clips:
-            path = os.path.join(out_dir, f"{cfg.terrain_style}_{idx:05d}.npz")
+            path = os.path.join(
+                out_dir, f"{name_prefix}{cfg.terrain_style}_{idx:05d}.npz")
             md.save_motion_data(path, clip)
             paths.append(path)
             idx += 1

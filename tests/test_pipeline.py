@@ -154,6 +154,38 @@ def test_kin_gen_smoke(dataset_yaml, model, tmp_path):
         assert np.all(np.isfinite(clip.frames))
 
 
+def test_kin_gen_job_sharding(model, tmp_path, monkeypatch):
+    """Multi-job kin-gen sharding (reference parc_0_setup_iter.py:21-24
+    writes num_batches_of_motions job configs): batches get disjoint seed
+    slices and name-prefixed outputs that coexist in one directory."""
+    from parc_tpu.anim import motion_data as md
+    from parc_tpu.data.synthetic import standing_clip
+    from parc_tpu.pipeline import kin_gen
+
+    seeds = []
+
+    def fake_gen(mdm, state, cfg, seed):
+        seeds.append(seed)
+        return [standing_clip(n=4)]
+
+    monkeypatch.setattr(kin_gen, "gen_motion_and_terrain", fake_gen)
+    out = str(tmp_path / "kg")
+    cfg = kin_gen.KinGenConfig()
+    # two jobs of the same 2-motion width, as cli.stage_kin_gen shards them
+    p0 = kin_gen.run_kin_gen(None, None, 2, out, cfg, seed=0,
+                             name_prefix="b0_")
+    p1 = kin_gen.run_kin_gen(None, None, 2, out, cfg, seed=2,
+                             name_prefix="b1_")
+    assert seeds == [0, 1, 2, 3]          # disjoint seed slices
+    names = sorted(os.path.basename(p) for p in p0 + p1)
+    assert names == [f"b0_{cfg.terrain_style}_00000.npz",
+                     f"b0_{cfg.terrain_style}_00001.npz",
+                     f"b1_{cfg.terrain_style}_00000.npz",
+                     f"b1_{cfg.terrain_style}_00001.npz"]
+    for p in p0 + p1:                     # all loadable
+        assert md.load_motion_data(p).frames.shape[-1] == 34
+
+
 def test_mdm_validation_harness(dataset_yaml, model, tmp_path):
     """Seeded validation generation over a fixture terrain+path
     (reference: tools/motion_tests/mdm_validation_test.py)."""
