@@ -372,3 +372,109 @@ def correct_foot_ground_pen(model: cm.CharModel, frames34: np.ndarray,
     out = np.array(np.asarray(frames34), copy=True)
     out[:, 2] += np.asarray(lift)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Motion-matching transition search
+# (reference parity: zmotion_editing_tools/motion_edit_lib.py:1025-1128,
+#  the search behind MOTION_FORGE's interactive stitcher
+#  polyscope_stitcher.py — find the best frame pair to transition from
+#  clip A into clip B, plus the rigid alignment of B onto A there)
+# ---------------------------------------------------------------------------
+
+
+def _match_features(model: cm.CharModel, frames34: jax.Array, fps: float):
+    """Canonicalized per-frame matching features (reference
+    motion_edit_lib.py:1046-1077): heading-local body positions with the
+    root body's xy subtracted, heading-local root velocity, and world-frame
+    root angular velocity (the reference leaves ang-vel uncanonicalized).
+    Velocities are the same forward differences build_motion_lib stores."""
+    frames34 = jnp.asarray(frames34)
+    root_pos = frames34[:, 0:3]
+    root_rot = rot.exp_map_to_quat(frames34[:, 3:6])
+    joint_rot = cm.dof_to_rot(model, frames34[:, 6:])
+    body_pos, _ = cm.forward_kinematics(model, root_pos, root_rot, joint_rot)
+    heading_inv = rot.calc_heading_quat_inv(root_rot)
+    bp = body_pos - jnp.pad(body_pos[:, 0:1, 0:2], ((0, 0), (0, 0), (0, 1)))
+    bp = rot.quat_rotate(heading_inv[:, None, :], bp)
+    root_vel = fps * (root_pos[1:] - root_pos[:-1])
+    root_vel = jnp.concatenate([root_vel, root_vel[-1:]], 0)
+    root_vel = rot.quat_rotate(heading_inv, root_vel)
+    drot = rot.quat_diff(root_rot[:-1], root_rot[1:])
+    ang_vel = fps * rot.quat_to_exp_map(drot)
+    ang_vel = jnp.concatenate([ang_vel, ang_vel[-1:]], 0)
+    return bp, root_vel, ang_vel
+
+
+def search_for_matching_motion_frames(
+        model: cm.CharModel, frames_a: np.ndarray, frames_b: np.ndarray,
+        fps: float, range_a: Optional[Tuple[int, int]] = None,
+        range_b: Optional[Tuple[int, int]] = None,
+        w_body: float = 0.65, w_vel: float = 0.2, w_ang: float = 0.15):
+    """Best transition frame pair between two clips.
+
+    Scores every (i, j) pair inside the search windows with the reference's
+    motion-matching error (motion_edit_lib.py:1080-1095: 0.65 * summed
+    non-root body-position distance + 0.2 * root-vel distance + 0.15 *
+    root-ang-vel distance, all on canonicalized features) as one vectorized
+    [Fa, Fb] matrix instead of the reference's per-frame Python loop.
+    Like the reference (:1083), the last frame of A's window is excluded.
+
+    Returns ``(idx_a, idx_b, heading_diff, root_pos_diff, err)``: frame
+    indices into the *full* clips, plus the rigid alignment of B onto A at
+    the match — rotate B by ``heading_diff`` about the world origin, then
+    translate by ``root_pos_diff`` (z component zero), exactly the
+    transform the reference returns (:1104-1128).
+    """
+    frames_a = np.asarray(frames_a)
+    frames_b = np.asarray(frames_b)
+    a0, a1 = range_a if range_a is not None else (0, frames_a.shape[0] - 1)
+    b0, b1 = range_b if range_b is not None else (0, frames_b.shape[0] - 1)
+    a1 = min(a1, frames_a.shape[0] - 1)
+    b1 = min(b1, frames_b.shape[0] - 1)
+
+    bp_a, rv_a, av_a = _match_features(model, frames_a, fps)
+    bp_b, rv_b, av_b = _match_features(model, frames_b, fps)
+    bp_a, rv_a, av_a = bp_a[a0:a1], rv_a[a0:a1], av_a[a0:a1]  # excl. last
+    bp_b, rv_b, av_b = bp_b[b0:b1 + 1], rv_b[b0:b1 + 1], av_b[b0:b1 + 1]
+
+    body = jnp.linalg.norm(bp_a[:, None, 1:] - bp_b[None, :, 1:], axis=-1)
+    err = (w_body * jnp.sum(body, axis=-1)
+           + w_vel * jnp.linalg.norm(rv_a[:, None] - rv_b[None, :], axis=-1)
+           + w_ang * jnp.linalg.norm(av_a[:, None] - av_b[None, :], axis=-1))
+    flat = int(jnp.argmin(err))
+    i, j = divmod(flat, err.shape[1])
+    idx_a, idx_b = a0 + i, b0 + j
+
+    rot_a = rot.exp_map_to_quat(jnp.asarray(frames_a[idx_a, 3:6]))
+    rot_b = rot.exp_map_to_quat(jnp.asarray(frames_b[idx_b, 3:6]))
+    heading_diff = float(rot.calc_heading(rot_a) - rot.calc_heading(rot_b))
+    q = rot.heading_to_quat(jnp.asarray(heading_diff))
+    pos_b = rot.quat_rotate(q, jnp.asarray(frames_b[idx_b, 0:3]))
+    root_pos_diff = np.array(jnp.asarray(frames_a[idx_a, 0:3]) - pos_b)
+    root_pos_diff[2] = 0.0
+    return idx_a, idx_b, heading_diff, root_pos_diff, float(err[i, j])
+
+
+def align_matched_motion(frames_b: np.ndarray, heading_diff: float,
+                         root_pos_diff) -> np.ndarray:
+    """Apply the rigid transform from search_for_matching_motion_frames:
+    rotate about the world origin, then translate (reference applies the
+    same pair in the stitcher before concatenating)."""
+    q = np.asarray(rot.heading_to_quat(jnp.asarray(heading_diff)))
+    return translate_motion(
+        rotate_motion(frames_b, q, np.zeros(3)), root_pos_diff)
+
+
+def stitch_at_match(model: cm.CharModel, frames_a: np.ndarray,
+                    frames_b: np.ndarray, fps: float,
+                    range_a: Optional[Tuple[int, int]] = None,
+                    range_b: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Search + align + concatenate: A up to its match frame, then B from
+    just after its match frame, rigidly aligned onto A (the stitcher's
+    one-click flow)."""
+    idx_a, idx_b, hd, dp, _ = search_for_matching_motion_frames(
+        model, frames_a, frames_b, fps, range_a, range_b)
+    aligned = align_matched_motion(frames_b, hd, dp)
+    return stitch_motions(np.asarray(frames_a)[:idx_a + 1],
+                          aligned[idx_b + 1:])

@@ -364,6 +364,39 @@ class Studio:
         self.status = f"sliced [{start}:{end}]"
         return self.state()
 
+    def stitch(self, path: str, range_a=None, range_b=None) -> dict:
+        """Motion-matching stitch: best transition from the current clip
+        into the workspace clip at ``path``, rigidly aligned and
+        concatenated (reference: MOTION_FORGE/polyscope_stitcher.py +
+        motion_edit_lib.search_for_matching_motion_frames)."""
+        import jax.numpy as jnp
+
+        from parc_tpu.anim import motion_edit
+        m = self._require_motion()
+        other = md.load_motion_data(self._workspace_path(path))
+        if float(other.fps) != float(m.fps):
+            other.frames = np.asarray(motion_edit.resample_fps(
+                self.model, jnp.asarray(other.frames), float(other.fps),
+                float(m.fps)), np.float32)
+            other.fps = float(m.fps)
+        ia, ib, hd, dp, err = motion_edit.search_for_matching_motion_frames(
+            self.model, m.frames, other.frames, float(m.fps),
+            tuple(range_a) if range_a else None,
+            tuple(range_b) if range_b else None)
+        aligned = motion_edit.align_matched_motion(other.frames, hd, dp)
+        m.frames = np.asarray(
+            motion_edit.stitch_motions(m.frames[:ia + 1],
+                                       aligned[ib + 1:]), np.float32)
+        if m.contacts is not None and other.contacts is not None:
+            m.contacts = np.concatenate([m.contacts[:ia + 1],
+                                         other.contacts[ib + 1:]], 0)
+        else:
+            m.contacts = None
+        self.overlay = None
+        self.status = (f"stitched {os.path.basename(path)} at "
+                       f"A[{ia}] -> B[{ib}] (match err {err:.3f})")
+        return self.state()
+
     def recompute_contacts(self, threshold: float = 0.04) -> dict:
         from parc_tpu.anim import motion_edit
         import jax.numpy as jnp
@@ -435,7 +468,7 @@ class Studio:
     # -- dispatch -----------------------------------------------------------
     OPS = ("state", "load", "save", "procgen", "edit_cells", "astar",
            "mdm_gen", "optimize", "accept_overlay", "flip", "resample",
-           "slice", "recompute_contacts", "set_contact", "track")
+           "slice", "stitch", "recompute_contacts", "set_contact", "track")
 
     def handle(self, op: str, payload: dict) -> dict:
         if op not in self.OPS:

@@ -85,6 +85,9 @@ PAGE = r"""<!DOCTYPE html>
   <input id="s1" value="30" style="width:40px"></label>
   <button onclick="api('slice',{start:+v('s0'),end:+v('s1')})">cut</button>
  </div>
+ <div class="row"><label>stitch <input id="stp" placeholder="clip.npz"
+  style="flex:1;width:auto"></label>
+  <button onclick="api('stitch',{path:v('stp')})">stitch</button></div>
  <div class="row">
   <button onclick="api('recompute_contacts',{})">recompute contacts</button>
  </div>

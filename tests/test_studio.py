@@ -169,3 +169,23 @@ def test_mdm_gen_in_studio(model, tmp_path):
     assert "mdm_gen" in s["status"]
     assert st.motion.frames.shape[-1] == 34
     assert np.all(np.isfinite(st.motion.frames))
+
+
+def test_stitch_op(studio, tmp_path):
+    """Motion-matching stitch (reference MOTION_FORGE/polyscope_stitcher):
+    stitching a saved copy of the current clip reproduces its length and
+    stays continuous at the seam."""
+    studio.workspace = str(tmp_path)
+    n = studio.motion.frames.shape[0]
+    studio.save(path="b.npz")
+    s = studio.handle("stitch", {"path": "b.npz",
+                                 "range_a": [n // 2, n // 2 + 1]})
+    assert "stitched" in s["status"]
+    f = studio.motion.frames
+    assert f.shape[0] == n
+    # seam continuity: the per-frame root displacement around the seam is
+    # bounded by the clip's own max step
+    step = np.linalg.norm(np.diff(f[:, 0:3], axis=0), axis=-1)
+    assert step.max() < 0.2
+    if studio.motion.contacts is not None:
+        assert studio.motion.contacts.shape[0] == n

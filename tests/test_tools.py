@@ -809,3 +809,37 @@ def test_spatially_vary_and_pen_correction(model):
     assert np.all(fixed[:, 2] >= sunk[:, 2] - 1e-6)
     refixed = motion_edit.correct_foot_ground_pen(model, fixed)
     np.testing.assert_allclose(refixed[:, 2], fixed[:, 2], atol=2e-3)
+
+
+def test_motion_match_search_and_stitch(model):
+    """Motion-matching transition search (reference
+    motion_edit_lib.py:1025-1128): a rigidly transformed copy of the same
+    clip must match at the same phase, the returned alignment must undo the
+    transform, and the one-click stitch must be continuous at the seam."""
+    import jax.numpy as jnp
+    from parc_tpu.data.synthetic import walking_clip
+    from parc_tpu.utils import rotation as rot
+    clip = walking_clip(seed=6)
+    f = clip.frames
+    q = np.asarray(rot.heading_to_quat(jnp.asarray(0.9)))
+    f_b = motion_edit.translate_motion(
+        motion_edit.rotate_motion(f, q, np.zeros(3)), [2.0, -1.0, 0.0])
+
+    # search A's frames around 20 against all of B: the canonical features
+    # are invariant to the rigid transform, so frame i of A matches frame
+    # i of B exactly
+    ia, ib, hd, dp, err = motion_edit.search_for_matching_motion_frames(
+        model, f, f_b, clip.fps, range_a=(20, 21))
+    assert ia == 20 and ib == 20
+    assert err < 1e-3
+
+    # the alignment undoes the rigid transform
+    aligned = motion_edit.align_matched_motion(f_b, hd, dp)
+    np.testing.assert_allclose(aligned[:, 0:3], f[:, 0:3], atol=1e-4)
+    np.testing.assert_allclose(aligned[:, 3:6], f[:, 3:6], atol=1e-4)
+
+    # stitch: A[:ia+1] + aligned B[ib+1:] == the original clip
+    out = motion_edit.stitch_at_match(model, f, f_b, clip.fps,
+                                      range_a=(20, 21))
+    assert out.shape == f.shape
+    np.testing.assert_allclose(out, f, atol=1e-4)
