@@ -21,6 +21,7 @@ from flax import struct
 
 from parc_tpu.anim import char_model as cm
 from parc_tpu.anim import motion_data as md
+from parc_tpu.utils import gather as gather_lib
 from parc_tpu.utils import rotation as rot
 from parc_tpu.utils import terrain as terrain_lib
 
@@ -231,6 +232,22 @@ def _loop_offset(lib: MotionLib, motion_ids: jax.Array,
     return jnp.where(wrap[..., None], cycles[..., None] * delta, 0.0)
 
 
+# Frame-table row lookups dispatch between XLA's native gather and a
+# one-hot MXU contraction (utils/gather.py rows_onehot). Native gathers
+# lower to a serial scalar loop on TPU — for the tracker's (4096 envs x 6
+# tar steps) lookup they dominate the whole observation pass (~1.2 ms) —
+# while the one-hot contraction costs L*F*W MACs, so it only wins while the
+# concatenated frame table is small. Measured crossover on v5e is far above
+# this cutoff; CPU keeps the native gather (fast there, and the big one-hot
+# intermediates compile pathologically on the XLA CPU backend).
+ONEHOT_MAX_FRAMES = 4096
+
+
+def _use_onehot_rows(num_frames: int) -> bool:
+    return (num_frames <= ONEHOT_MAX_FRAMES
+            and jax.default_backend() != "cpu")
+
+
 def calc_motion_frame(lib: MotionLib, motion_ids: jax.Array,
                       times: jax.Array) -> MotionFrame:
     """Sample blended motion frames at arbitrary times (fully vectorized).
@@ -239,20 +256,32 @@ def calc_motion_frame(lib: MotionLib, motion_ids: jax.Array,
     slerp-blended; velocities and contacts come from the earlier frame /
     linear blend respectively)."""
     i0, i1, blend = calc_frame_blend(lib, motion_ids, times)
+    if _use_onehot_rows(lib.frame_root_pos.shape[0]):
+        f = lib.frame_root_pos.shape[0]
+        oh0 = jax.nn.one_hot(i0.reshape(-1), f,
+                             dtype=lib.frame_root_pos.dtype)
+        oh1 = jax.nn.one_hot(i1.reshape(-1), f,
+                             dtype=lib.frame_root_pos.dtype)
+        take0 = lambda t: gather_lib.rows_onehot(t, i0, oh=oh0)
+        take1 = lambda t: gather_lib.rows_onehot(t, i1, oh=oh1)
+    else:
+        take0 = lambda t: t[i0]
+        take1 = lambda t: t[i1]
     b = blend[..., None]
-    root_pos = ((1.0 - b) * lib.frame_root_pos[i0]
-                + b * lib.frame_root_pos[i1])
-    root_rot = rot.slerp(lib.frame_root_rot[i0], lib.frame_root_rot[i1], blend)
-    joint_rot = rot.slerp(lib.frame_joint_rot[i0], lib.frame_joint_rot[i1],
-                          b)
-    contacts = ((1.0 - b) * lib.frame_contacts[i0]
-                + b * lib.frame_contacts[i1])
+    root_pos = ((1.0 - b) * take0(lib.frame_root_pos)
+                + b * take1(lib.frame_root_pos))
+    root_rot = rot.slerp(take0(lib.frame_root_rot),
+                         take1(lib.frame_root_rot), blend)
+    joint_rot = rot.slerp(take0(lib.frame_joint_rot),
+                          take1(lib.frame_joint_rot), b)
+    contacts = ((1.0 - b) * take0(lib.frame_contacts)
+                + b * take1(lib.frame_contacts))
     root_pos = root_pos + _loop_offset(lib, motion_ids, times)
     return MotionFrame(
         root_pos=root_pos, root_rot=root_rot,
-        root_vel=lib.frame_root_vel[i0],
-        root_ang_vel=lib.frame_root_ang_vel[i0],
-        joint_rot=joint_rot, dof_vel=lib.frame_dof_vel[i0],
+        root_vel=take0(lib.frame_root_vel),
+        root_ang_vel=take0(lib.frame_root_ang_vel),
+        joint_rot=joint_rot, dof_vel=take0(lib.frame_dof_vel),
         contacts=contacts)
 
 

@@ -47,6 +47,29 @@ def batched_hf_gather(hf: jax.Array, terrain_idx: jax.Array, ix: jax.Array,
     return jnp.sum(tmp * oh_x, axis=-1).reshape(lead + (p,))
 
 
+def rows_onehot(table: jax.Array, idx: jax.Array,
+                oh: jax.Array | None = None) -> jax.Array:
+    """table[idx] as a one-hot MXU contraction: ``one_hot(idx) @ table``.
+
+    table: (F, ...); idx: int (...). Exact (one nonzero per one-hot row —
+    1.0*x selections accumulate exactly even through the MXU's bf16x3 f32
+    emulation). Pass a precomputed ``oh`` (L, F) to share the one-hot
+    across several tables of the same length (XLA CSEs it anyway, but this
+    keeps the graph small).
+
+    Callers dispatch on table size: the contraction costs L*F*W MACs, so it
+    only beats XLA's serial scalar gather loop for small-F tables (motion
+    frame tables of a few thousand frames; per-motion terrain stacks).
+    """
+    lead = idx.shape
+    f = table.shape[0]
+    if oh is None:
+        oh = jax.nn.one_hot(idx.reshape(-1), f, dtype=table.dtype)
+    flat = table.reshape((f, -1))
+    out = oh @ flat
+    return out.reshape(lead + table.shape[1:])
+
+
 def hf_gather_single(hf: jax.Array, ix: jax.Array, iy: jax.Array,
                      min_points_for_onehot: int = 32) -> jax.Array:
     """hf[ix[..., p], iy[..., p]] for a single shared (H, W) table."""

@@ -115,3 +115,33 @@ def test_reference_pkl_clip(reference_root, model):
     frame = ml.calc_motion_frame(
         lib, jnp.zeros((2,), jnp.int32), jnp.asarray([0.0, 0.5]))
     assert np.all(np.isfinite(np.asarray(frame.root_pos)))
+
+
+def test_onehot_frame_gather_exact(model):
+    """The one-hot MXU frame-table gather (TPU hot path) is bit-exact vs
+    the native gather the CPU backend uses (anim/motion_lib.py
+    calc_motion_frame dispatch)."""
+    clips = [_make_clip(seed=i, n=20 + 7 * i,
+                        loop=(md.WRAP if i % 2 else md.CLAMP))
+             for i in range(3)]
+    lib = ml.build_motion_lib(model, clips)
+    ids = ml.sample_motions(lib, jax.random.PRNGKey(0), 257)
+    # include the steps axis shape used by the tar-obs path and
+    # out-of-range times (CLAMP end, WRAP cycling)
+    times = ml.sample_time(lib, jax.random.PRNGKey(1), ids)[:, None] \
+        + jnp.asarray([0.0, 0.033, 1.0, 5.0])
+    ids = jnp.broadcast_to(ids[:, None], times.shape)
+
+    native = ml.calc_motion_frame(lib, ids, times)
+    orig = ml._use_onehot_rows
+    ml._use_onehot_rows = lambda n: True
+    try:
+        onehot = ml.calc_motion_frame(lib, ids, times)
+    finally:
+        ml._use_onehot_rows = orig
+
+    for name in ["root_pos", "root_rot", "root_vel", "root_ang_vel",
+                 "joint_rot", "dof_vel", "contacts"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(native, name)),
+            np.asarray(getattr(onehot, name)), err_msg=name)
