@@ -156,17 +156,22 @@ def _augment_hf(cfg: SamplerConfig, rng, hf, hf_max, hf_min):
     b = hf.shape[0]
     k_pool, k_boxes, k_shift = jax.random.split(rng, 3)
 
-    # up to 3 random maxpool passes
+    # up to 3 random maxpool passes, each randomly square / x-only / y-only
+    # (reference shuffles [maxpool_hf, maxpool_hf_1d_x, maxpool_hf_1d_y],
+    # sampler :377-382, terrain_util:1595-1622)
     def pool_pass(h, key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         do = jax.random.uniform(k1, (b,)) < cfg.hf_maxpool_chance
         size = jax.random.randint(k2, (b,), 2, cfg.hf_max_maxpool_size + 1)
+        kind = jax.random.randint(k3, (b,), 0, 3)
         # static max size window; emulate size via masked max v/ iota dist
         pooled = h
         for s in (2, 4, 8):
-            p = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
-                                      (1, s, s), (1, 1, 1), "SAME")
-            pooled = jnp.where((do & (size >= s))[:, None, None], p, pooled)
+            for kk, win in ((0, (1, s, s)), (1, (1, s, 1)), (2, (1, 1, s))):
+                p = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                          win, (1, 1, 1), "SAME")
+                sel = do & (size >= s) & (kind == kk)
+                pooled = jnp.where(sel[:, None, None], p, pooled)
         return pooled
 
     for key in jax.random.split(k_pool, 3):

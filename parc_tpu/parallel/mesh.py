@@ -196,6 +196,45 @@ def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
     return jax.jit(fn)
 
 
+def check_param_sync(mesh: Mesh, params: Any, atol: float = 1e-6) -> float:
+    """Max abs deviation of any replica's params from the cross-device mean.
+
+    Parity with the reference's periodic multi-proc desync assertion
+    (learning/mp_optimizer.py:68-81): in shard_map data parallelism the
+    parameters are replicated by construction, but a non-deterministic op
+    or a collectives bug would let replicas drift — this is the race
+    detector for that. Raises if the deviation exceeds ``atol``. The
+    tolerance is nonzero because all-reduce implementations may accumulate
+    in different orders per participant (measured ~1 ulp on the CPU
+    backend); real desyncs are orders of magnitude larger.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def local_fn(p):
+        worst = jnp.zeros(())
+        for leaf in jax.tree.leaves(p):
+            leaf = leaf.astype(jnp.float32)
+            mean = jax.lax.pmean(leaf, "data")
+            worst = jnp.maximum(worst, jnp.max(jnp.abs(leaf - mean)))
+        return jax.lax.pmax(worst, "data")
+
+    # Pass the LIVE buffers through: device_put with the replicated spec is
+    # a no-op when params already live on this mesh (the case that matters —
+    # each device's possibly-drifted copy is inspected in place); it only
+    # copies when params sit elsewhere (then the check is trivially clean).
+    rep = jax.device_put(
+        params, jax.tree.map(
+            lambda _: NamedSharding(mesh, P()), params))
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                   check_rep=False)
+    dev = float(jax.jit(fn)(rep))
+    if dev > atol:
+        raise AssertionError(
+            f"data-parallel param replicas out of sync: max|p - pmean(p)| "
+            f"= {dev:.3e} > {atol:.3e}")
+    return dev
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:

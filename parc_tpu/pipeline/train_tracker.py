@@ -46,13 +46,22 @@ class TrainerConfig:
     # profile_iters) into <output_dir>/profile (TensorBoard / Perfetto)
     profile_iters: int = 0
     profile_start: int = 10
+    # multichip: periodic data-parallel param-replica desync assertion
+    # (reference: learning/mp_optimizer.py:68-81 checks every 1000 steps)
+    iters_per_sync_check: int = 1000
+    # shard_map data parallelism over visible devices. None = auto: on for
+    # multi-device accelerator backends, off on CPU (the 8-virtual-device
+    # test environment would drag every fixture through minutes-long
+    # shard_map CPU compiles); True forces it (tests, dryrun).
+    use_multichip: Optional[bool] = None
 
 
 REWARD_COMPONENT_NAMES = ("pose_r", "vel_r", "root_pose_r", "root_vel_r",
                           "key_pos_r", "contact_r")
 
 
-def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16):
+def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16,
+                 axis_name: Optional[str] = None, n_shards: int = 1):
     """Deterministic-policy evaluation rollout (jitted once; ``lib`` and
     ``state`` are jit arguments).
 
@@ -63,19 +72,31 @@ def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16):
     per-episode return/length, fail fraction, per-reward-component
     episodic returns (reference: learning/return_tracker.py:5-60,
     dm_ppo_return_tracker.py), and the 7 tracking-error components
-    (reference: learning/dm_ppo_agent.py:162-219)."""
+    (reference: learning/dm_ppo_agent.py:162-219).
+
+    With ``axis_name`` the returned fn is shard_map-ready: each shard
+    rolls out its local env slice, the stopping decision and all episode
+    statistics reduce over the axis (one global report, every chip stops
+    on the same step). The raw fn is returned (caller wraps in
+    shard_map+jit); without ``axis_name`` it is jitted here.
+    """
     env = agent.env
+    psum = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
+            else (lambda x: x))
 
     def test_fn(lib, state: AgentState, rng):
-        es = env.reset(lib, rng)
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        es = env.reset(lib, rng, num_envs=env.cfg.num_envs // n_shards)
         n = es.done.shape[0]
-        min_eps = -(-int(test_episodes) // n)   # static ceil
+        min_eps = -(-int(test_episodes) // (n * n_shards))   # static ceil
         ncomp = es.reward_components.shape[-1]
         nterr = es.tracking_error.shape[-1]
 
         carry0 = dict(
             es=es,
             step=jnp.zeros((), jnp.int32),
+            all_done=jnp.zeros((), jnp.bool_),
             eps_per_env=jnp.zeros((n,), jnp.int32),
             ret_buf=jnp.zeros((n,)),
             comp_buf=jnp.zeros((n, ncomp)),
@@ -89,8 +110,10 @@ def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16):
         )
 
         def cond(c):
-            return ((c["step"] < max_steps)
-                    & ~jnp.all(c["eps_per_env"] >= min_eps))
+            # all_done is reduced over the data axis in the body, so every
+            # shard evaluates the same condition (no cross-shard divergence
+            # inside shard_map's per-device while loops)
+            return (c["step"] < max_steps) & ~c["all_done"]
 
         def body(c):
             es = c["es"]
@@ -104,10 +127,14 @@ def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16):
             # per-env episodic accumulators (reset on done)
             ret_buf = c["ret_buf"] + es.reward
             comp_buf = c["comp_buf"] + es.reward_components
+            eps_per_env = c["eps_per_env"] + is_done.astype(jnp.int32)
+            local_done = jnp.all(eps_per_env >= min_eps)
             return dict(
                 es=es,
                 step=c["step"] + 1,
-                eps_per_env=c["eps_per_env"] + is_done.astype(jnp.int32),
+                all_done=(psum(local_done.astype(jnp.int32))
+                          >= n_shards) if axis_name else local_done,
+                eps_per_env=eps_per_env,
                 ret_buf=jnp.where(is_done, 0.0, ret_buf),
                 comp_buf=jnp.where(is_done[:, None], 0.0, comp_buf),
                 reward_sum=c["reward_sum"] + jnp.sum(es.reward),
@@ -125,19 +152,21 @@ def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16):
 
         c = jax.lax.while_loop(cond, body, carry0)
         steps = jnp.maximum(c["step"].astype(jnp.float32), 1.0)
-        eps = jnp.maximum(c["ep_cnt"], 1.0)
+        ep_cnt = psum(c["ep_cnt"])
+        eps = jnp.maximum(ep_cnt, 1.0)
+        n_total = n * n_shards
         return dict(
-            mean_reward=c["reward_sum"] / (steps * n),
-            mean_return=c["ep_ret_sum"] / eps,
-            num_eps=c["ep_cnt"],
-            mean_ep_len=c["ep_len_sum"] / eps,
-            fail_frac=c["fail_cnt"] / eps,
-            component_returns=c["comp_ret_sum"] / eps,
-            tracking_error=c["terr_sum"] / (steps * n),
+            mean_reward=psum(c["reward_sum"]) / (steps * n_total),
+            mean_return=psum(c["ep_ret_sum"]) / eps,
+            num_eps=ep_cnt,
+            mean_ep_len=psum(c["ep_len_sum"]) / eps,
+            fail_frac=psum(c["fail_cnt"]) / eps,
+            component_returns=psum(c["comp_ret_sum"]) / eps,
+            tracking_error=psum(c["terr_sum"]) / (steps * n_total),
             test_steps=c["step"],
         )
 
-    return jax.jit(test_fn)
+    return test_fn if axis_name is not None else jax.jit(test_fn)
 
 
 def log_fail_rate_tables(logger: Logger, fail_rates: np.ndarray,
@@ -185,9 +214,45 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
 
     # NOTE: lib is a jit *argument* (device-resident, reused), never a
     # closure — closed-over device arrays stall lowering on remote TPUs.
-    train_iter = jax.jit(lambda l, s: agent.train_iter(l, s))
-    test_fn = make_test_fn(agent, cfg.test_steps, cfg.test_episodes)
-    lib = jax.device_put(lib)
+    n_dev = len(jax.devices())
+    num_envs = agent.env.cfg.num_envs
+    mesh = None
+    multichip = cfg.use_multichip
+    if multichip is None:
+        multichip = jax.default_backend() != "cpu"
+    if (multichip and n_dev > 1 and num_envs % n_dev == 0
+            and type(agent.env) is DeepMimicEnv):
+        # multichip: shard_map data parallelism over the env batch — keeps
+        # the Pallas physics kernel legal (one local batch per chip; GSPMD
+        # cannot auto-shard a pallas_call). Gradients/normalizer/advantage
+        # moments psum over 'data' inside train_iter; test rollouts reduce
+        # their episode statistics the same way.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from parc_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(n_dev, model_parallel=1)
+        train_iter = mesh_lib.make_sharded_train_iter(agent, mesh, lib,
+                                                      state)
+        test_core = make_test_fn(agent, cfg.test_steps, cfg.test_episodes,
+                                 axis_name="data", n_shards=n_dev)
+        state_spec = jax.tree.map(
+            lambda x: mesh_lib.env_batch_pspec(x, num_envs), state)
+        lib_spec = jax.tree.map(lambda _: P(), lib)
+        test_fn = jax.jit(shard_map(
+            test_core, mesh=mesh,
+            in_specs=(lib_spec, state_spec, P()), out_specs=P(),
+            check_rep=False))
+        lib = jax.device_put(
+            lib, jax.tree.map(lambda _: NamedSharding(mesh, P()), lib))
+        state = state.replace(env_state=jax.device_put(
+            state.env_state,
+            mesh_lib.batch_shardings(mesh, state.env_state, num_envs)))
+        print(f"multichip: shard_map DP over {n_dev} devices "
+              f"({num_envs // n_dev} envs/chip)")
+    else:
+        train_iter = jax.jit(lambda l, s: agent.train_iter(l, s))
+        test_fn = make_test_fn(agent, cfg.test_steps, cfg.test_episodes)
+        lib = jax.device_put(lib)
 
     it = 0
     t_start = time.time()
@@ -223,6 +288,11 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
                 f"(critic_loss={critic_loss}); pre-update state dumped to "
                 f"{dump}")
         state = new_state
+
+        if (mesh is not None and cfg.iters_per_sync_check
+                and it % cfg.iters_per_sync_check == 0):
+            from parc_tpu.parallel import mesh as mesh_lib
+            mesh_lib.check_param_sync(mesh, state.params)
 
         if it % cfg.iters_per_output == 0 or it == 1:
             with timers.phase("test"):

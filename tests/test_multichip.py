@@ -85,3 +85,43 @@ def test_sharded_rollout(setup):
                    state.obs_norm)
     assert np.isfinite(float(rew))
     assert es.obs.shape == state.env_state.obs.shape
+
+
+def test_check_param_sync():
+    """Replicated params pass; per-device drift is caught (reference
+    mp_optimizer.py:68-81 desync assertion)."""
+    mesh = mesh_lib.make_mesh(8, model_parallel=1)
+    params = {"w": jnp.ones((16, 8)), "b": jnp.zeros((8,))}
+    dev = mesh_lib.check_param_sync(mesh, params)
+    assert dev == 0.0
+
+    # fabricate drifted replicas: stack per-device values that differ
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def make_drift():
+        def local(x):
+            idx = jax.lax.axis_index("data").astype(jnp.float32)
+            return x + idx * 1e-3
+        f = shard_map(local, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                      check_rep=False)
+        return jax.jit(f)(jnp.ones((16, 8)))
+
+    drifted = {"w": make_drift()}
+    with pytest.raises(AssertionError):
+        mesh_lib.check_param_sync(mesh, drifted, atol=1e-6)
+
+
+def test_trainer_multichip_path(setup, tmp_path):
+    """pipeline train() routes through shard_map when use_multichip=True:
+    2 iterations + a sharded min-episodes test rollout + the desync check
+    all run over the 8-device mesh."""
+    from parc_tpu.pipeline import train_tracker
+    agent, lib, state = setup
+    cfg = train_tracker.TrainerConfig(
+        output_dir=str(tmp_path), iters_per_output=1,
+        iters_per_checkpoint=1000, test_steps=8, test_episodes=8,
+        iters_per_sync_check=2, use_multichip=True)
+    out = train_tracker.train(agent, lib, cfg, state=state, max_iters=2)
+    assert float(out.sample_count) == 2 * 4 * 32
+    assert np.all(np.isfinite(np.asarray(jax.tree.leaves(out.params)[0])))
