@@ -237,9 +237,12 @@ def _loop_offset(lib: MotionLib, motion_ids: jax.Array,
 # lower to a serial scalar loop on TPU — for the tracker's (4096 envs x 6
 # tar steps) lookup they dominate the whole observation pass (~1.2 ms) —
 # while the one-hot contraction costs L*F*W MACs, so it only wins while the
-# concatenated frame table is small. Measured crossover on v5e is far above
-# this cutoff; CPU keeps the native gather (fast there, and the big one-hot
-# intermediates compile pathologically on the XLA CPU backend).
+# concatenated frame table is small. Measured on v5e @ L=24576 (4096 envs x
+# 6 tar steps): F=540 0.71 vs 1.31 ms, F=2070 1.11 vs 1.54, F=4050 1.30 vs
+# 1.72 (one-hot vs native) — still ahead at this cutoff, extrapolated flops
+# cross over shortly past it. CPU keeps the native gather (fast there, and
+# the big one-hot intermediates compile pathologically on the XLA CPU
+# backend).
 ONEHOT_MAX_FRAMES = 4096
 
 
