@@ -87,7 +87,7 @@ def main():
         from jax.sharding import NamedSharding, PartitionSpec
         state = state.replace(env_state=jax.device_put(
             state.env_state,
-            mesh_lib.batch_shardings(mesh, state.env_state, NUM_ENVS)))
+            mesh_lib.env_state_shardings(mesh, state.env_state, NUM_ENVS)))
         lib = jax.device_put(
             lib, jax.tree.map(
                 lambda _: NamedSharding(mesh, PartitionSpec()), lib))

@@ -223,8 +223,10 @@ def terrain_from_motion(model: cm.CharModel, frames34: np.ndarray,
 
 def stride_motion(frames34: np.ndarray, start: int, end: int,
                   stride: int) -> np.ndarray:
-    """Keep every ``stride``-th frame inside [start, end); frames outside
-    the range are untouched (speeds up a segment)."""
+    """Keep every ``stride``-th frame inside [start, end) and resume at
+    ``end + 1`` — frame ``end`` itself is always dropped, matching the
+    reference exactly (motion_edit_lib.py:291-299 concatenates
+    [:start] + [start:end:stride] + [end+1:])."""
     frames34 = np.asarray(frames34)
     return np.concatenate([frames34[:start], frames34[start:end:stride],
                            frames34[end + 1:]], axis=0)
@@ -432,6 +434,12 @@ def search_for_matching_motion_frames(
     b0, b1 = range_b if range_b is not None else (0, frames_b.shape[0] - 1)
     a1 = min(a1, frames_a.shape[0] - 1)
     b1 = min(b1, frames_b.shape[0] - 1)
+    # the reference asserts start < end (:1083); with A's last window frame
+    # excluded an empty window would argmin over a zero-size matrix
+    if a1 <= a0 or b1 < b0:
+        raise ValueError(
+            f"empty match window: range_a=({a0}, {a1}) needs a1 > a0 "
+            f"(last frame excluded), range_b=({b0}, {b1}) needs b1 >= b0")
 
     bp_a, rv_a, av_a = _match_features(model, frames_a, fps)
     bp_b, rv_b, av_b = _match_features(model, frames_b, fps)

@@ -163,10 +163,13 @@ def compute_approx_body_constraints(model: cm.CharModel,
         pin[i] = pin_i
         valid[i] = True
 
-    # project all constraint points onto the terrain surface at once
+    # project all constraint points onto the terrain surface at once;
+    # terrain enters as a jit ARGUMENT (CLAUDE.md rule 1: closed-over
+    # device arrays are fetched back through the remote-TPU tunnel during
+    # lowering)
     if rows:
         @jax.jit
-        def project(points):
+        def project(terrain, points):
             def step(pts, _):
                 g = jax.grad(lambda p: jnp.sum(
                     terrain_lib.terrain_sdf(terrain, p, inverted=False)**2)
@@ -174,7 +177,7 @@ def compute_approx_body_constraints(model: cm.CharModel,
                 return pts - project_lr * g, None
             pts, _ = jax.lax.scan(step, points, None, length=project_iters)
             return pts
-        points = np.asarray(project(jnp.asarray(points)))
+        points = np.asarray(project(terrain, jnp.asarray(points)))
 
     return BodyConstraints(
         body_ids=jnp.asarray(body_ids), starts=jnp.asarray(starts),

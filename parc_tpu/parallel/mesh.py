@@ -67,7 +67,8 @@ def shard_agent_state(mesh: Mesh, agent_state: Any, num_envs: int) -> Any:
             agent_state.opt_state),
         obs_norm=jax.tree.map(
             lambda x: NamedSharding(mesh, P()), agent_state.obs_norm),
-        env_state=batch_shardings(mesh, agent_state.env_state, num_envs),
+        env_state=env_state_shardings(mesh, agent_state.env_state,
+                                      num_envs),
         rng=NamedSharding(mesh, P()),
         sample_count=NamedSharding(mesh, P()),
     )
@@ -80,6 +81,42 @@ def env_batch_pspec(x, num_envs: int) -> P:
     if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == num_envs:
         return P("data")
     return P()
+
+
+def env_state_shardings(mesh: Mesh, env_state: Any, num_envs: int) -> Any:
+    """NamedShardings matching :func:`env_state_pspec` (for device_put)."""
+    return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                        env_state_pspec(env_state, num_envs))
+
+
+def env_state_pspec(env_state: Any, num_envs: int) -> Any:
+    """PartitionSpecs for an EnvState: env-batch leaves on 'data', with the
+    per-MOTION leaves explicitly replicated. The leading-dim heuristic
+    alone is a trap: fail_rates has shape (num_motions,), which collides
+    with (num_envs,) whenever a run uses one env per motion (the record
+    stage always does)."""
+    specs = jax.tree.map(lambda x: env_batch_pspec(x, num_envs), env_state)
+    if hasattr(specs, "fail_rates"):
+        specs = specs.replace(fail_rates=P())
+    return specs
+
+
+def agent_state_pspec(state: Any, num_envs: int) -> Any:
+    """PartitionSpecs for a full AgentState under shard_map data
+    parallelism: everything replicated except the env batch.
+
+    Never applies the leading-dim heuristic to params/opt_state — a
+    2048-wide net at the default 2048 envs would otherwise get its hidden
+    kernels and biases sliced across 'data' and crash at trace time."""
+    rep = lambda t: jax.tree.map(lambda _: P(), t)
+    return state.replace(
+        params=rep(state.params),
+        opt_state=rep(state.opt_state),
+        obs_norm=rep(state.obs_norm),
+        env_state=env_state_pspec(state.env_state, num_envs),
+        rng=P(),
+        sample_count=P(),
+    )
 
 
 def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
@@ -107,7 +144,7 @@ def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
     assert num_envs % mesh.shape["data"] == 0, (
         f"num_envs {num_envs} must divide the data axis "
         f"{mesh.shape['data']}")
-    state_spec = jax.tree.map(lambda x: env_batch_pspec(x, num_envs), state)
+    state_spec = agent_state_pspec(state, num_envs)
     lib_spec = jax.tree.map(lambda x: P(), lib)
 
     def local_fn(lib, st):
@@ -153,8 +190,7 @@ def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
     from parc_tpu.learning import normalizer as norm_lib
 
     num_envs = env_state.done.shape[0]
-    state_spec = jax.tree.map(lambda x: env_batch_pspec(x, num_envs),
-                              env_state)
+    state_spec = env_state_pspec(env_state, num_envs)
     lib_spec = jax.tree.map(lambda x: P(), lib)
 
     pool_k = 4

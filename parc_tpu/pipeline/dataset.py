@@ -35,19 +35,28 @@ class DatasetConfig:
     precompute_masks: bool = True
 
 
+def _clip_files(folder: str) -> List[str]:
+    npz = glob.glob(os.path.join(folder, "*.npz"))
+    # a .pkl whose mask-precomputed .npz sibling exists was already
+    # converted by a previous create_dataset pass (_persist_clip) — listing
+    # both would double the clip's frames and sampling weight
+    stems = {os.path.splitext(p)[0] for p in npz}
+    pkl = [p for p in glob.glob(os.path.join(folder, "*.pkl"))
+           if os.path.splitext(p)[0] not in stems]
+    return sorted(npz + pkl)
+
+
 def scan_motion_files(root_dir: str) -> Dict[str, List[str]]:
     """Map class-name (subfolder) -> clip files (.npz/.pkl)."""
     classes: Dict[str, List[str]] = {}
     for sub in sorted(os.listdir(root_dir)):
         full = os.path.join(root_dir, sub)
         if os.path.isdir(full):
-            files = sorted(glob.glob(os.path.join(full, "*.npz"))
-                           + glob.glob(os.path.join(full, "*.pkl")))
+            files = _clip_files(full)
             if files:
                 classes[sub] = files
     if not classes:  # flat folder = one class
-        files = sorted(glob.glob(os.path.join(root_dir, "*.npz"))
-                       + glob.glob(os.path.join(root_dir, "*.pkl")))
+        files = _clip_files(root_dir)
         if files:
             classes["default"] = files
     return classes

@@ -220,6 +220,13 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
     multichip = cfg.use_multichip
     if multichip is None:
         multichip = jax.default_backend() != "cpu"
+    if multichip and n_dev > 1 and type(agent.env) is not DeepMimicEnv:
+        # ParkourEnv/MGDMEnv replans call the MDM inside the step — that
+        # path is GSPMD-only (SimParams(use_pallas=False)); don't let a
+        # forced use_multichip silently train on one chip.
+        print("WARNING: shard_map multichip supports DeepMimicEnv only; "
+              f"{type(agent.env).__name__} runs single-program (use GSPMD "
+              "sharding with use_pallas=False for multichip parkour)")
     if (multichip and n_dev > 1 and num_envs % n_dev == 0
             and type(agent.env) is DeepMimicEnv):
         # multichip: shard_map data parallelism over the env batch — keeps
@@ -235,8 +242,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
                                                       state)
         test_core = make_test_fn(agent, cfg.test_steps, cfg.test_episodes,
                                  axis_name="data", n_shards=n_dev)
-        state_spec = jax.tree.map(
-            lambda x: mesh_lib.env_batch_pspec(x, num_envs), state)
+        state_spec = mesh_lib.agent_state_pspec(state, num_envs)
         lib_spec = jax.tree.map(lambda _: P(), lib)
         test_fn = jax.jit(shard_map(
             test_core, mesh=mesh,
@@ -246,7 +252,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
             lib, jax.tree.map(lambda _: NamedSharding(mesh, P()), lib))
         state = state.replace(env_state=jax.device_put(
             state.env_state,
-            mesh_lib.batch_shardings(mesh, state.env_state, num_envs)))
+            mesh_lib.env_state_shardings(mesh, state.env_state, num_envs)))
         print(f"multichip: shard_map DP over {n_dev} devices "
               f"({num_envs // n_dev} envs/chip)")
     else:

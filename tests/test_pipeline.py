@@ -424,3 +424,29 @@ def test_cli_setup_iter_view_metrics(dataset_yaml, model, tmp_path):
     with open(csv_path) as f:
         lines = f.read().strip().splitlines()
     assert len(lines) >= 2  # header + >=1 clip
+
+
+def test_create_dataset_no_pkl_npz_double_listing(tmp_path, model):
+    """A .pkl converted to a mask-precomputed .npz sibling by a previous
+    create_dataset pass must not be listed twice on rebuild (the PARC loop
+    rebuilds manifests every iteration)."""
+    import yaml
+    from parc_tpu.pipeline import dataset as ds
+    from parc_tpu.data.synthetic import walking_clip
+
+    d = tmp_path / "motions" / "walk"
+    d.mkdir(parents=True)
+    clip = walking_clip(seed=3)
+    md.save_motion_data(str(d / "a.npz"), clip)
+    # fake an already-converted pair: same stem, both formats
+    md.save_motion_data(str(d / "b.npz"), clip)
+    import pickle
+    with open(d / "b.pkl", "wb") as f:
+        pickle.dump({"frames": np.asarray(clip.frames),
+                     "fps": 30, "loop_mode": "CLAMP"}, f)
+    out = ds.create_dataset_yaml(str(tmp_path / "motions"),
+                                 str(tmp_path / "ds.yaml"))
+    with open(out) as f:
+        files = [e["file"] for e in yaml.safe_load(f)["motions"]]
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in files]
+    assert sorted(stems) == ["a", "b"], stems
