@@ -216,3 +216,75 @@ def test_rot_changer_roundtrip():
                                    atol=1e-4, err_msg=rt)
     with __import__("pytest").raises(ValueError):
         RotChanger(model, "matrix")
+
+
+def test_rates_golden_vs_reference(reference_root):
+    """Golden parity of every diffusion-schedule quantity against the
+    reference's own DiffusionRates (diffusion/diffusion_util.py:71-131;
+    imported, not copied)."""
+    import sys
+    import torch
+    sys.path.insert(0, str(reference_root))
+    try:
+        from diffusion import diffusion_util as ref_du
+    finally:
+        sys.path.pop(0)
+
+    T = 101
+    ref = ref_du.DiffusionRates(T, device="cpu")
+    ours = schedules.make_rates(T)
+
+    def cmp(a, b, name):
+        # ours computes the schedule in f64 then casts; the reference is
+        # f32 throughout - tolerance covers the rounding, not semantics
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=5e-6,
+                                   rtol=1e-4, err_msg=name)
+
+    cmp(ours.betas, ref.betas, "betas")
+    cmp(ours.alphas_cumprod, ref.alphas_cumprod, "alphas_cumprod")
+    cmp(ours.sqrt_alphas_cumprod, ref.sqrt_alphas_cumprod,
+        "sqrt_alphas_cumprod")
+    cmp(ours.sqrt_one_minus_alphas_cumprod,
+        ref.sqrt_one_minus_alphas_cumprod, "sqrt_1m_alphas_cumprod")
+    cmp(ours.posterior_mean_x0_coef, ref.posterior_mean_coef1,
+        "posterior_mean_coef1")
+    cmp(ours.posterior_mean_xt_coef, ref.posterior_mean_coef2,
+        "posterior_mean_coef2")
+    cmp(jnp.sqrt(ours.posterior_variance), ref.posterior_std,
+        "posterior_std")
+
+    # forward diffusion q(x_t | x_0) with shared noise
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(4, 7)).astype(np.float32)
+    noise = rng.normal(size=(4, 7)).astype(np.float32)
+    t = np.asarray([0, 10, 50, 100])
+    ours_xt = schedules.forward_diffusion(
+        schedules.make_rates(T), jnp.asarray(x0),
+        jnp.asarray(t, jnp.int32), jnp.asarray(noise))
+    ref_xt = (ref.sqrt_alphas_cumprod[t, None] * torch.tensor(x0)
+              + ref.sqrt_one_minus_alphas_cumprod[t, None]
+              * torch.tensor(noise))
+    np.testing.assert_allclose(np.asarray(ours_xt), ref_xt.numpy(),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_timestep_embedding_golden_vs_reference(reference_root):
+    """Our concat [cos|sin] layout is a fixed permutation of the
+    reference's interleaved PositionalEncoding table (diffusion_util.py:
+    202-217) with identical frequencies."""
+    import sys
+    sys.path.insert(0, str(reference_root))
+    try:
+        from diffusion import diffusion_util as ref_du
+    finally:
+        sys.path.pop(0)
+
+    d, T = 64, 101
+    pe = ref_du.PositionalEncoding(d, 0.0, T).pe[0].numpy()     # (T, d)
+    ours = np.asarray(schedules.timestep_embedding(
+        jnp.arange(T, dtype=jnp.float32), d))                   # (T, d)
+    half = d // 2
+    np.testing.assert_allclose(ours[:, half:], pe[:, 0::2], atol=1e-5,
+                               err_msg="sin half")
+    np.testing.assert_allclose(ours[:, :half], pe[:, 1::2], atol=1e-5,
+                               err_msg="cos half")
