@@ -1,0 +1,96 @@
+"""Golden terrain-kernel parity vs the reference's own terrain_util.
+
+Imports /root/reference/util/terrain_util.py (pure torch once trimesh is
+stubbed) and pins our JAX kernels against it — the same pattern as the
+rotation / char-model golden tests (tests/test_rotation.py:93).
+"""
+
+import sys
+import types
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from parc_tpu.utils import terrain as terrain_lib
+
+
+@pytest.fixture(scope="module")
+def ref_tu(reference_root):
+    torch = pytest.importorskip("torch")
+    if "trimesh" not in sys.modules:
+        sys.modules["trimesh"] = types.ModuleType("trimesh")
+    if str(reference_root) not in sys.path:
+        sys.path.insert(0, str(reference_root))
+    from util import terrain_util as tu
+    return torch, tu
+
+
+def _rand_hf(rng, h=12, w=10, lo=-0.5, hi=1.2):
+    return rng.uniform(lo, hi, (h, w)).astype(np.float32)
+
+
+def test_points_hf_sdf_golden(ref_tu):
+    """Window-accelerated box-column SDF == the reference's all-boxes scan
+    (util/terrain_util.py:1835-1893), interior (inverted) and exterior."""
+    torch, tu = ref_tu
+    rng = np.random.default_rng(0)
+    hf = _rand_hf(rng)
+    dxdy = np.asarray([0.4, 0.4], np.float32)
+    min_point = np.asarray([-1.0, -2.0], np.float32)
+    # points across the terrain, above and below the surface
+    pts = np.stack([
+        rng.uniform(-1.0, -1.0 + 11 * 0.4, 256),
+        rng.uniform(-2.0, -2.0 + 9 * 0.4, 256),
+        rng.uniform(-1.0, 2.0, 256),
+    ], axis=-1).astype(np.float32)
+
+    for inverted in (True, False):
+        ref = tu.points_hf_sdf(
+            torch.tensor(pts).unsqueeze(0), torch.tensor(hf).unsqueeze(0),
+            torch.tensor(min_point).unsqueeze(0), torch.tensor(dxdy),
+            inverted=inverted)[0].numpy()
+        # window large enough to cover the whole grid -> exact everywhere
+        ours = np.asarray(terrain_lib.points_hf_sdf(
+            jnp.asarray(pts), jnp.asarray(hf), jnp.asarray(min_point),
+            jnp.asarray(dxdy), inverted=inverted, window=12))
+        np.testing.assert_allclose(ours, ref, atol=2e-5,
+                                   err_msg=f"inverted={inverted}")
+
+    # the production window only guarantees |sdf| < window*dx: check the
+    # default window agrees wherever the reference SDF is within range
+    ref = tu.points_hf_sdf(
+        torch.tensor(pts).unsqueeze(0), torch.tensor(hf).unsqueeze(0),
+        torch.tensor(min_point).unsqueeze(0), torch.tensor(dxdy),
+        inverted=True)[0].numpy()
+    ours = np.asarray(terrain_lib.points_hf_sdf(
+        jnp.asarray(pts), jnp.asarray(hf), jnp.asarray(min_point),
+        jnp.asarray(dxdy), inverted=True))
+    near = np.abs(ref) < 3 * 0.4
+    assert near.sum() > 50
+    np.testing.assert_allclose(ours[near], ref[near], atol=2e-5)
+
+
+def test_pool_ops_golden(ref_tu):
+    """maxpool / minpool / 1d variants with hf_maxmin clamps
+    (util/terrain_util.py:1595-1630). Reference pools in place."""
+    torch, tu = ref_tu
+    rng = np.random.default_rng(1)
+    hf = _rand_hf(rng)
+    maxmin = np.stack([hf + rng.uniform(0.0, 0.5, hf.shape),
+                       hf - rng.uniform(0.0, 0.5, hf.shape)],
+                      axis=-1).astype(np.float32)
+
+    # reference maxpool_size=s means a centered (2s+1) kernel; our API takes
+    # the raw window size (odd windows are SAME-centered, identical result)
+    for ref_size in (1, 2):
+        win = 2 * ref_size + 1
+        for name, ref_fn, ours_fn in (
+                ("max", tu.maxpool_hf, terrain_lib.maxpool_hf),
+                ("min", tu.minpool_hf, terrain_lib.minpool_hf)):
+            t = torch.tensor(hf.copy())
+            ref_fn(t, torch.tensor(maxmin), ref_size)
+            ours = np.asarray(ours_fn(jnp.asarray(hf), jnp.asarray(maxmin),
+                                      win))
+            np.testing.assert_allclose(ours, t.numpy(), atol=1e-6,
+                                       err_msg=f"{name} ref_size={ref_size}")
