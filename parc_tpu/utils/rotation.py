@@ -100,8 +100,13 @@ def quat_inv(q: jax.Array) -> jax.Array:
 
 
 def quat_diff(q0: jax.Array, q1: jax.Array) -> jax.Array:
-    """q0^-1 * q1 (relative rotation)."""
-    return quat_mul(quat_conjugate(q0), q1)
+    """q1 * q0^-1 — the WORLD-frame rotation taking q0 to q1 (reference:
+    util/torch_util.py:423-425). Finite-difference angular velocities built
+    from this match the simulator's world-frame root_ang_vel; the local
+    variant (q0^-1 * q1) silently put reference ang-vels in the body frame,
+    skewing the deepmimic root-velocity reward against the world-frame sim
+    state."""
+    return quat_mul(q1, quat_conjugate(q0))
 
 
 def quat_diff_angle(q0: jax.Array, q1: jax.Array) -> jax.Array:

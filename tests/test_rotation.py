@@ -87,8 +87,8 @@ def test_heading():
 
 @pytest.mark.parametrize("fn_pair", [
     "quat_mul", "quat_rotate", "quat_to_exp_map", "exp_map_to_quat",
-    "quat_to_tan_norm", "calc_heading", "quat_diff_angle", "slerp",
-    "quat_to_matrix", "calc_heading_quat_inv",
+    "quat_to_tan_norm", "calc_heading", "quat_diff", "quat_diff_angle",
+    "slerp", "quat_to_matrix", "calc_heading_quat_inv",
 ])
 def test_golden_vs_reference(reference_root, fn_pair):
     """Bitwise-level parity against the reference torch implementation."""
@@ -122,6 +122,11 @@ def test_golden_vs_reference(reference_root, fn_pair):
         a, b = ref.quat_to_tan_norm(tq0).numpy(), rot.quat_to_tan_norm(jq0)
     elif fn_pair == "calc_heading":
         a, b = ref.calc_heading(tq0).numpy(), rot.calc_heading(jq0)
+    elif fn_pair == "quat_diff":
+        # world-frame relative rotation q1 * q0^-1 — finite-difference
+        # angular velocities must live in the same frame as the sim's
+        # world-frame root_ang_vel
+        a, b = ref.quat_diff(tq0, tq1).numpy(), rot.quat_diff(jq0, jq1)
     elif fn_pair == "quat_diff_angle":
         a = np.abs(ref.quat_diff_angle(tq0, tq1).numpy())
         b = rot.quat_diff_angle(jq0, jq1)
