@@ -35,7 +35,7 @@ python -m parc_tpu.pipeline.cli create_dataset \
 # 1. kin_gen from the scale-run MDM checkpoint
 python -m parc_tpu.pipeline.cli kin_gen --dataset "$OUT/seed.yaml" \
     --mdm_dir /tmp/mdm_scale --out_dir "$OUT/kin_gen" \
-    --num_motions "$NUM_MOTIONS" --batch_size 512
+    --num_motions "$NUM_MOTIONS"
 
 # 2. dataset over seed + generated clips
 mkdir -p "$OUT/motions_iter1"

@@ -42,7 +42,7 @@ def fixtures(model):
     rng = np.random.default_rng(7)
     boxes = terrain_lib.create_terrain(40, 24, dx=0.4, min_x=-2.0,
                                        min_y=-4.8)
-    hf = np.asarray(boxes.hf)
+    hf = np.array(boxes.hf)  # writable copy (terrain arrays are jax-backed)
     for _ in range(6):
         i = rng.integers(8, 32)
         j = rng.integers(4, 20)
