@@ -29,6 +29,14 @@ class GenSettings:
     ddim_stride: int = 5
     guidance_scale: float = 1.0
     use_ema: bool = True
+    # condition on the prev-state frames (reference MDMGenSettings
+    # use_prev_state, gen_util.py:13).  False drops the prev-state tokens
+    # from attention entirely — the prev frames then only anchor the
+    # canonical frame.  The reference uses this for the FIRST window of an
+    # autoregressive chain (mdm_path.py:149-161): a synthetic standing
+    # start pose must not condition the generation, or a well-fit model
+    # keeps standing forever.
+    use_prev_state: bool = True
     # optional gradient/hf guidance (parc_tpu.diffusion.guidance); None
     # disables (reference: gen_util.py:12-34 custom_guidance_params)
     guidance: object = None
@@ -140,7 +148,8 @@ def gen_mdm_motion(mdm: MDM, state: MDMState, rng: jax.Array,
                             guidance_scale=settings.guidance_scale,
                             use_ema=settings.use_ema,
                             guidance=settings.guidance,
-                            target_xy=target_xy_canon)
+                            target_xy=target_xy_canon,
+                            use_prev_state=settings.use_prev_state)
     frames34_c, contacts = frames34_from_features(mdm, feats)
     frames34 = uncanonicalize(frames34_c, canon_xy, canon_z, canon_heading)
     return frames34, jnp.clip(jnp.round(contacts), 0.0, 1.0)

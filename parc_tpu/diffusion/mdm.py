@@ -332,7 +332,7 @@ class MDM:
 
     def _denoise(self, params, state, x_t, t, prev_std, hf, target_dir,
                  guidance_scale: float = 1.0, prev_noised=None,
-                 cond_cache=None):
+                 cond_cache=None, use_prev_state: bool = True):
         b = x_t.shape[0]
         ones = jnp.ones((b,))
 
@@ -357,14 +357,15 @@ class MDM:
                 hf_mask=hf_m, target_mask=tgt_m, prev_state_mask=prev_m,
                 prev_state_noised=prev_noised, deterministic=True)
 
-        cond = call(ones, ones, ones)
+        cond = call(ones, ones, ones if use_prev_state else jnp.zeros((b,)))
         if guidance_scale == 1.0:
             return cond
         uncond = call(ones, jnp.zeros((b,)), jnp.zeros((b,)))
         return uncond + guidance_scale * (cond - uncond)
 
     def _encode_cond_cache(self, params, prev_std, hf, target_dir,
-                           guidance_scale: float, prev_noised=None):
+                           guidance_scale: float, prev_noised=None,
+                           use_prev_state: bool = True):
         """Precompute the timestep-independent condition tokens once per
         sampling run (the reference's fast_forward cache,
         diffusion/mdm_transformer.py fast_forward): the hf CNN, target
@@ -373,13 +374,15 @@ class MDM:
         b = prev_std.shape[0]
         ones = jnp.ones((b,))
         zeros = jnp.zeros((b,))
+        if prev_noised is None and not use_prev_state:
+            prev_noised = ones  # "don't trust prev" indicator embedding
 
         def enc(tgt_m, prev_m):
             return self.net.apply(
                 params, prev_std, hf, target_dir, ones, tgt_m, prev_m,
                 prev_noised, method="encode_conditions")
 
-        cond = enc(ones, ones)
+        cond = enc(ones, ones if use_prev_state else zeros)
         uncond = enc(zeros, zeros) if guidance_scale != 1.0 else None
         return cond, uncond
 
@@ -413,7 +416,8 @@ class MDM:
     def ddim_sample(self, state: MDMState, rng, prev_states, hf, target_dir,
                     stride: int = 5, guidance_scale: float = 1.0,
                     use_ema: bool = True, guidance=None, target_xy=None,
-                    inpaint_frames=None, inpaint_mask=None):
+                    inpaint_frames=None, inpaint_mask=None,
+                    use_prev_state: bool = True):
         """DDIM (eta=0) sampling of one 15-frame window (standardized in/out
         handled internally; returns unstandardized canonical frames).
 
@@ -436,7 +440,8 @@ class MDM:
         # fast_forward condition cache: hoisted out of the scan (invalid
         # under strong hf guidance, which re-tokenizes a changing hf)
         cond_cache = None if strong_hf else self._encode_cond_cache(
-            params, prev_std, hf, target_dir, guidance_scale)
+            params, prev_std, hf, target_dir, guidance_scale,
+            use_prev_state=use_prev_state)
 
         def body(x, idx):
             t_cur = timesteps[idx]
@@ -473,7 +478,8 @@ class MDM:
     def ddpm_sample(self, state: MDMState, rng, prev_states, hf, target_dir,
                     guidance_scale: float = 1.0, use_ema: bool = True,
                     guidance=None, target_xy=None,
-                    inpaint_frames=None, inpaint_mask=None):
+                    inpaint_frames=None, inpaint_mask=None,
+                    use_prev_state: bool = True):
         """Full ancestral DDPM sampling (predict-x0 posterior)."""
         params = state.ema_params if use_ema else state.params
         b = prev_states.shape[0]
@@ -488,7 +494,8 @@ class MDM:
         x = jax.random.normal(
             k_init, (b, self.scfg.seq_len, self.frame_dim))
         cond_cache = self._encode_cond_cache(params, prev_std, hf,
-                                             target_dir, guidance_scale)
+                                             target_dir, guidance_scale,
+                                             use_prev_state=use_prev_state)
 
         def body(carry, t_rev):
             x, key = carry

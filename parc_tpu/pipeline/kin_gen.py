@@ -62,16 +62,6 @@ def gen_terrain(cfg: KinGenConfig, rng: np.random.Generator) -> np.ndarray:
     return hf
 
 
-def default_start_frames(model: cm.CharModel, start_xyz: np.ndarray,
-                         heading: float, num_prev: int = 2) -> np.ndarray:
-    """Standing prev-state frames at a path start."""
-    frames = np.zeros((num_prev, 34), np.float32)
-    frames[:, 0:2] = start_xyz[0:2]
-    frames[:, 2] = start_xyz[2] + 0.94
-    frames[:, 5] = heading  # exp-map about z = heading
-    return frames
-
-
 def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
                            seed: int) -> List[md.MotionData]:
     """Generate one terrain and up to top_k motions crossing it."""
@@ -103,17 +93,12 @@ def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
             continue
         nodes = astar.path_to_world(path, np.zeros(2), dxdy, hf)
 
-        d0 = nodes[min(3, len(nodes) - 1), 0:2] - nodes[0, 0:2]
-        heading = float(np.arctan2(d0[1], d0[0]))
-        start_frames = default_start_frames(model, nodes[0], heading)
-        start_contacts = np.zeros((start_frames.shape[0],
-                                   model.num_bodies), np.float32)
-        start_contacts[:, [11, 14]] = 1.0
-
+        # cold start: mdm_path builds the standing anchor itself and
+        # generates the first window with the prev-state condition dropped
+        # (reference gen_mdm_motion_at_path_start)
         rng, key = jax.random.split(rng)
         result = mdm_path.generate_frames_along_path(
-            mdm, state, terrain, nodes, start_frames, start_contacts, key,
-            cfg.path_cfg)
+            mdm, state, terrain, nodes, None, None, key, cfg.path_cfg)
 
         ok = ((result.contact_loss < cfg.max_contact_loss)
               & (result.pen_loss < cfg.max_pen_loss)

@@ -60,8 +60,8 @@ def _feet_xy(model: cm.CharModel, frames34: jax.Array,
 def generate_frames_along_path(mdm: MDM, state: MDMState,
                                terrain: terrain_lib.Terrain,
                                path_nodes: np.ndarray,
-                               start_frames34: np.ndarray,
-                               start_contacts: np.ndarray,
+                               start_frames34: Optional[np.ndarray],
+                               start_contacts: Optional[np.ndarray],
                                rng: jax.Array,
                                cfg: PathGenSettings = PathGenSettings()
                                ) -> PathGenResult:
@@ -69,8 +69,16 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
 
     Args:
       path_nodes: (N, 3) world xyz nodes from A*.
-      start_frames34: (num_prev, 34) initial pose frames at the path start.
-      start_contacts: (num_prev, num_bodies).
+      start_frames34: (num_prev, 34) REAL recent character frames to
+        condition the chain on (online replanning), or None to start cold
+        at the path's first node — the reference's two regimes
+        (mdm_path.py:149-163): with real frames the first window is
+        prev-state-conditioned as usual; from a cold start a synthetic
+        standing anchor is built at nodes[0] and the first window is
+        generated with the prev-state condition DROPPED (use_prev_state
+        False, CFG off), because a synthetic standing pose that conditions
+        a well-fit model pins the whole chain to a standing attractor.
+      start_contacts: (num_prev, num_bodies) or None.
     """
     model = mdm.model
     b = cfg.batch_size
@@ -82,6 +90,22 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
                             names.index("left_foot")], jnp.int32)
 
     nodes = jnp.asarray(path_nodes)
+    cold_start = start_frames34 is None
+    if cold_start:
+        # synthetic standing anchor at the path start, heading at the next
+        # node, root z randomized in [0.7, 0.9] above the node (reference
+        # gen_mdm_motion_at_path_start, mdm_path.py:136-159)
+        rng, k_z = jax.random.split(rng)
+        nxt = np.asarray(path_nodes)[min(1, len(path_nodes) - 1)]
+        d0 = nxt[0:2] - np.asarray(path_nodes)[0, 0:2]
+        heading = float(np.arctan2(d0[1], d0[0])) \
+            if np.linalg.norm(d0) > 1e-6 else 0.0
+        root_z = 0.7 + 0.2 * float(jax.random.uniform(k_z))
+        start_frames34 = np.zeros((np_prev, 34), np.float32)
+        start_frames34[:, 0:2] = np.asarray(path_nodes)[0, 0:2]
+        start_frames34[:, 2] = np.asarray(path_nodes)[0, 2] + root_z
+        start_frames34[:, 5] = heading
+        start_contacts = np.zeros((np_prev, model.num_bodies), np.float32)
     frames = jnp.broadcast_to(
         jnp.asarray(start_frames34)[None], (b, np_prev, 34)).copy()
     contacts = jnp.broadcast_to(
@@ -94,12 +118,49 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
         lambda st, terr, key, prev_f, prev_c, tgt: gen_lib.gen_mdm_motion(
             mdm, st, key, prev_f, prev_c, terr, tgt,
             settings=cfg.settings))
+    # Cold-start first window: drop the prev-state condition and CFG
+    # (reference gen_mdm_motion_at_path_start, mdm_path.py:149-161); with
+    # real prev frames the first window conditions normally.
+    if cold_start:
+        start_settings = dataclasses.replace(
+            cfg.settings, use_prev_state=False, guidance_scale=1.0)
+        gen_start = jax.jit(
+            lambda st, terr, key, prev_f, prev_c, tgt:
+            gen_lib.gen_mdm_motion(mdm, st, key, prev_f, prev_c, terr, tgt,
+                                   settings=start_settings))
+    else:
+        gen_start = gen_step
     state = jax.device_put(state)
     terrain = jax.device_put(terrain)
 
     closest = np.zeros((b,), np.int64)
     done = np.zeros((b,), bool)
     done_len = np.full((b,), -1, np.int64)
+
+    def update_progress(frames):
+        # progress bookkeeping on host
+        nonlocal closest, done, done_len
+        feet = np.asarray(_feet_xy(model, frames[:, -1], foot_ids))
+        d_nodes = np.linalg.norm(
+            np.asarray(nodes)[None, :, 0:2] - feet[:, None, 0:2], axis=-1)
+        closest = np.maximum(closest, d_nodes.argmin(axis=1))
+        end_d = np.linalg.norm(
+            np.asarray(nodes)[-1, 0:2] - feet[:, 0:2], axis=-1)
+        newly_done = (~done) & (end_d < cfg.done_dist)
+        done_len[newly_done] = frames.shape[1]
+        done |= newly_done
+
+    # generate the first window towards the next path node and discard the
+    # synthetic start frames (reference keeps slice(0, seq-1-rewind) of it)
+    rng, key = jax.random.split(rng)
+    tgt0 = jnp.broadcast_to(nodes[min(1, len(path_nodes) - 1), 0:2][None],
+                            (b, 2))
+    first_f, first_c = gen_start(state, terrain, key,
+                                 frames[:, -np_prev:],
+                                 contacts[:, -np_prev:], tgt0)
+    frames = first_f[:, :seq - 1]
+    contacts = first_c[:, :seq - 1]
+    update_progress(frames)
 
     while frames.shape[1] < max_frames and not done.all():
         # rewind (drop the last few frames — they tend to degrade)
@@ -119,16 +180,7 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
         frames = jnp.concatenate([frames, new_f], axis=1)
         contacts = jnp.concatenate([contacts, new_c], axis=1)
 
-        # progress bookkeeping on host
-        feet = np.asarray(_feet_xy(model, frames[:, -1], foot_ids))
-        d_nodes = np.linalg.norm(
-            np.asarray(nodes)[None, :, 0:2] - feet[:, None, 0:2], axis=-1)
-        closest = np.maximum(closest, d_nodes.argmin(axis=1))
-        end_d = np.linalg.norm(
-            np.asarray(nodes)[-1, 0:2] - feet[:, 0:2], axis=-1)
-        newly_done = (~done) & (end_d < cfg.done_dist)
-        done_len[newly_done] = frames.shape[1]
-        done |= newly_done
+        update_progress(frames)
 
     done_len[done_len < 0] = frames.shape[1]
 

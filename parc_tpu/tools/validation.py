@@ -47,7 +47,6 @@ def run_validation(mdm: MDM, state: MDMState,
     Outputs are saved as .npz clips when output_dir is given (same layout
     the reference uses for its compute_losses sweep).
     """
-    from parc_tpu.pipeline.kin_gen import default_start_frames
     path_cfg = path_cfg or mdm_path_lib.PathGenSettings()
     rows: List[Dict] = []
     if output_dir:
@@ -56,19 +55,11 @@ def run_validation(mdm: MDM, state: MDMState,
     for fi, fx in enumerate(fixtures):
         rng = jax.random.PRNGKey(seed + fi)
         nodes = np.asarray(fx.path_nodes)
-        heading = float(np.arctan2(nodes[1, 1] - nodes[0, 1],
-                                   nodes[1, 0] - nodes[0, 0])) \
-            if len(nodes) > 1 else 0.0
-        start_frames = default_start_frames(mdm.model, nodes[0], heading)
-        start_contacts = np.zeros(
-            (start_frames.shape[0], mdm.model.num_bodies), np.float32)
-        foot_ids = [i for i, n in enumerate(mdm.model.body_names)
-                    if "foot" in n]
-        start_contacts[:, foot_ids] = 1.0
         t0 = time.time()
+        # cold start (None): the chain builds its own standing anchor and
+        # un-conditions the first window (reference path-start regime)
         result = mdm_path_lib.generate_frames_along_path(
-            mdm, state, fx.terrain, nodes, start_frames, start_contacts,
-            rng, path_cfg)
+            mdm, state, fx.terrain, nodes, None, None, rng, path_cfg)
         gen_time = time.time() - t0
         order = np.argsort(result.total_loss)[:top_k]
         for rank, i in enumerate(order):

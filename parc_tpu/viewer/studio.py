@@ -247,7 +247,6 @@ class Studio:
         import jax
         from parc_tpu.anim import motion_lib as ml
         from parc_tpu.diffusion.mdm import MDM, MDMConfig
-        from parc_tpu.pipeline.kin_gen import default_start_frames
         from parc_tpu.procgen import mdm_path
         from parc_tpu.utils import checkpoint as ckpt_lib
 
@@ -267,15 +266,11 @@ class Studio:
         state = ckpt_lib.restore(os.path.join(mdm_dir, "checkpoints"),
                                  state)
         nodes = np.asarray(self.path_world)
-        d0 = nodes[min(3, len(nodes) - 1), 0:2] - nodes[0, 0:2]
-        heading = float(np.arctan2(d0[1], d0[0]))
-        start_frames = default_start_frames(self.model, nodes[0], heading)
-        start_contacts = np.zeros((start_frames.shape[0],
-                                   self.model.num_bodies), np.float32)
         cfg = mdm_path.PathGenSettings(
             batch_size=int(batch_size), max_seconds=float(max_seconds))
+        # cold start: mdm_path builds the anchor + unconditioned first window
         result = mdm_path.generate_frames_along_path(
-            mdm, state, t.to_device(), nodes, start_frames, start_contacts,
+            mdm, state, t.to_device(), nodes, None, None,
             jax.random.PRNGKey(seed), cfg)
         best = int(np.argmin(result.total_loss))
         n = int(result.lengths[best])

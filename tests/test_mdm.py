@@ -127,6 +127,30 @@ def test_ddim_sampling_shapes(setup):
     assert np.all(np.isfinite(np.asarray(out2)))
 
 
+def test_ddim_without_prev_state(setup):
+    """use_prev_state=False (reference path-start regime,
+    mdm_path.py:149-161) must drop the prev-state condition: the output
+    stays finite and actually differs from the conditioned sample."""
+    model, lib, mdm = setup
+    state = mdm.init(lib, jax.random.PRNGKey(1), stats_samples=128)
+    batch = sampler_lib.sample_batch(model, mdm.scfg, lib,
+                                     jax.random.PRNGKey(2), 4)
+    cond = mdm.ddim_sample(state, jax.random.PRNGKey(5), batch.prev_states,
+                           batch.hf, batch.target_dir, stride=25)
+    free = mdm.ddim_sample(state, jax.random.PRNGKey(5), batch.prev_states,
+                           batch.hf, batch.target_dir, stride=25,
+                           use_prev_state=False)
+    assert np.all(np.isfinite(np.asarray(free)))
+    assert not np.allclose(np.asarray(free), np.asarray(cond), atol=1e-4)
+    # and the prev frames themselves no longer matter
+    free2 = mdm.ddim_sample(state, jax.random.PRNGKey(5),
+                            batch.prev_states * 0.0 + 7.0,
+                            batch.hf, batch.target_dir, stride=25,
+                            use_prev_state=False)
+    np.testing.assert_allclose(np.asarray(free2), np.asarray(free),
+                               atol=1e-4)
+
+
 def test_guidance_and_inpaint(setup):
     """Gradient guidance + in-painting + dof projection hooks
     (reference: diffusion/mdm.py:1444-1560)."""
