@@ -441,8 +441,10 @@ class DeepMimicEnv:
                 failed = failed | pose_fail
 
             failed = failed & (state.time > 1e-5)
-            done = jnp.where(failed & (done == DoneFlags.NULL),
-                             DoneFlags.FAIL, done)
+            # FAIL overrides a simultaneous TIME (reference mgdm_dm_util
+            # compute_done assigns done[failed]=FAIL after done[timeout]=
+            # TIME): a failing env must not bootstrap its value target
+            done = jnp.where(failed, DoneFlags.FAIL, done)
         return done
 
     def _tracking_error(self, state: EnvState, ref: ml.MotionFrame,
