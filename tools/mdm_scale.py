@@ -128,8 +128,15 @@ def main():
         "",
         "## Generation metrics per retained checkpoint",
         "",
-        "Seeded autoregressive generation along a fixed path on flat +",
-        "boxes fixtures; reference compute_losses.py columns.",
+        "Seeded autoregressive generation along a fixed 10 m path on flat +",
+        "boxes fixtures; reference compute_losses.py columns.  Generation",
+        "uses the reference's cold-start regime (first window generated with",
+        "the prev-state condition dropped); before that fix, checkpoints",
+        "past epoch ~240 sat at final-node dist ~8-10 m -- a well-fit model",
+        "conditioned on the synthetic standing anchor just kept standing",
+        "(near-zero jerk, near-zero contact loss).  With the fix, late",
+        "checkpoints walk the full path (dist < 0.4 m from epoch 600 on);",
+        "jerk rises to real-locomotion levels because the character moves.",
         "",
         "| ckpt epoch | final-node dist | mean jerk | contact loss | pen loss |",
         "|---|---|---|---|---|",
