@@ -111,7 +111,8 @@ def sample_local_hf(mdm: MDM, terrain: terrain_lib.Terrain, canon_xy,
 def gen_mdm_motion(mdm: MDM, state: MDMState, rng: jax.Array,
                    prev_frames34: jax.Array, prev_contacts: jax.Array,
                    terrain: terrain_lib.Terrain, target_xy: jax.Array,
-                   settings: GenSettings = GenSettings()):
+                   settings: GenSettings = GenSettings(),
+                   prev_state_mask=None):
     """Generate the next 15-frame window in world coordinates.
 
     Args:
@@ -120,9 +121,16 @@ def gen_mdm_motion(mdm: MDM, state: MDMState, rng: jax.Array,
       prev_contacts: (B, num_prev, num_bodies).
       terrain: world terrain to condition on.
       target_xy: (B, 2) world-frame target position.
+      prev_state_mask: optional per-env (B,) {0,1} mask overriding
+        settings.use_prev_state — the reference's per-env use_prev_state
+        tensor (mgdm_env.py:644-645): rows at 0 drop the prev-state
+        condition (synthetic anchors after hard resets), rows at 1
+        condition normally.  The prev frames still fix the canonical
+        frame either way.
 
     Returns:
-      (frames34 (B, 15, 34), contacts (B, 15, B)) world-frame window.
+      (frames34 (B, 15, 34), contacts (B, 15, num_bodies)) world-frame
+      window.
     """
     scfg = mdm.scfg
     canon = prev_frames34[:, -1]
@@ -149,7 +157,9 @@ def gen_mdm_motion(mdm: MDM, state: MDMState, rng: jax.Array,
                             use_ema=settings.use_ema,
                             guidance=settings.guidance,
                             target_xy=target_xy_canon,
-                            use_prev_state=settings.use_prev_state)
+                            use_prev_state=(settings.use_prev_state
+                                            if prev_state_mask is None
+                                            else prev_state_mask))
     frames34_c, contacts = frames34_from_features(mdm, feats)
     frames34 = uncanonicalize(frames34_c, canon_xy, canon_z, canon_heading)
     return frames34, jnp.clip(jnp.round(contacts), 0.0, 1.0)

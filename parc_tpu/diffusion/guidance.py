@@ -167,7 +167,8 @@ def apply_inpaint(x_std: jax.Array, paint_std: jax.Array,
 
 
 def hf_guidance_x0(mdm, params, state, x_t, t_batch, prev_std, hf,
-                   target_dir, target_xy, gp: GuidanceParams):
+                   target_dir, target_xy, gp: GuidanceParams,
+                   use_prev_state: bool = True):
     """Strong hf guidance: optimize the conditioning heightfield so the
     denoised motion satisfies target/collision objectives, grads masked
     out near the character and in the target direction
@@ -192,7 +193,7 @@ def hf_guidance_x0(mdm, params, state, x_t, t_batch, prev_std, hf,
 
     def obj(hf_cur):
         x0 = mdm._denoise(params, state, x_t, t_batch, prev_std, hf_cur,
-                          target_dir, 1.0)
+                          target_dir, 1.0, use_prev_state=use_prev_state)
         return guidance_loss(mdm, state, x0, hf_cur, target_xy, gp), x0
 
     def body(_, carry):
@@ -204,7 +205,7 @@ def hf_guidance_x0(mdm, params, state, x_t, t_batch, prev_std, hf,
         return hf_cur, mom, x0
 
     x0_init = mdm._denoise(params, state, x_t, t_batch, prev_std, hf,
-                           target_dir, 1.0)
+                           target_dir, 1.0, use_prev_state=use_prev_state)
     hf_out, _, x0 = jax.lax.fori_loop(
         0, gp.hf_iters, body, (hf, jnp.zeros_like(hf), x0_init))
     return x0, hf_out

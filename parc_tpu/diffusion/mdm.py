@@ -357,7 +357,9 @@ class MDM:
                 hf_mask=hf_m, target_mask=tgt_m, prev_state_mask=prev_m,
                 prev_state_noised=prev_noised, deterministic=True)
 
-        cond = call(ones, ones, ones if use_prev_state else jnp.zeros((b,)))
+        # use_prev_state: static bool, or a per-sample (b,) {0,1} mask (the
+        # reference's per-env use_prev_state tensor, mgdm_env.py:644-645)
+        cond = call(ones, ones, ones * use_prev_state)
         if guidance_scale == 1.0:
             return cond
         uncond = call(ones, jnp.zeros((b,)), jnp.zeros((b,)))
@@ -374,15 +376,13 @@ class MDM:
         b = prev_std.shape[0]
         ones = jnp.ones((b,))
         zeros = jnp.zeros((b,))
-        if prev_noised is None and not use_prev_state:
-            prev_noised = ones  # "don't trust prev" indicator embedding
 
         def enc(tgt_m, prev_m):
             return self.net.apply(
                 params, prev_std, hf, target_dir, ones, tgt_m, prev_m,
                 prev_noised, method="encode_conditions")
 
-        cond = enc(ones, ones if use_prev_state else zeros)
+        cond = enc(ones, ones * use_prev_state)
         uncond = enc(zeros, zeros) if guidance_scale != 1.0 else None
         return cond, uncond
 
@@ -450,7 +450,8 @@ class MDM:
                 from parc_tpu.diffusion import guidance as guid_lib
                 x0, _ = guid_lib.hf_guidance_x0(
                     self, params, state, x, t_batch, prev_std, hf,
-                    target_dir, target_xy, guidance)
+                    target_dir, target_xy, guidance,
+                    use_prev_state=use_prev_state)
             else:
                 x0 = self._denoise(params, state, x, t_batch, prev_std, hf,
                                    target_dir, guidance_scale,

@@ -88,6 +88,11 @@ class ParkourState(EnvState):
     ref_contacts: jax.Array   # (Nm, T, B)
     target_xy: jax.Array      # (Nm, 2)
     replan_timer: jax.Array   # () steps until next synchronized replan
+    # (Nm,) {0,1}: row's current window is a synthetic standing anchor
+    # (spawn / post-reset) — the next replan drops the prev-state condition
+    # for these rows (reference mgdm_env.py:644-645 sets use_prev_state
+    # False for hard_reset_ids)
+    ref_synthetic: jax.Array
 
 
 def _buffer_frame(model: cm.CharModel, frames34: jax.Array,
@@ -203,12 +208,16 @@ class ParkourEnv(DeepMimicEnv):
         k_gen, k_tgt = jax.random.split(rng)
         prev = state.ref_frames34[:, -2:]
         prev_c = state.ref_contacts[:, -2:]
+        # rows whose window is a synthetic standing anchor generate
+        # unconditioned on it (reference per-env use_prev_state); after
+        # this replan every row holds a real generated window
         new_f, new_c = gen_lib.gen_mdm_motion(
             self.mdm, mdm_state, k_gen, prev, prev_c, self.mgdm_terrain,
             state.target_xy,
             settings=gen_lib.GenSettings(
                 ddim_stride=pcfg.ddim_stride,
-                guidance_scale=pcfg.guidance_scale))
+                guidance_scale=pcfg.guidance_scale),
+            prev_state_mask=1.0 - state.ref_synthetic)
         root_xy = new_f[:, -1, 0:2]
         reached = jnp.linalg.norm(state.target_xy - root_xy, axis=-1) < 0.75
         target_xy = jnp.where(reached[:, None],
@@ -220,7 +229,8 @@ class ParkourEnv(DeepMimicEnv):
             ref_frames34=new_f[:, :pcfg.plan_frames],
             ref_contacts=new_c[:, :pcfg.plan_frames],
             target_xy=target_xy, motion_times=mt,
-            replan_timer=jnp.asarray(pcfg.plan_frames, jnp.int32))
+            replan_timer=jnp.asarray(pcfg.plan_frames, jnp.int32),
+            ref_synthetic=jnp.zeros_like(state.ref_synthetic))
 
     def _combined_ref(self, lib, state: ParkourState,
                       times: Optional[jax.Array] = None) -> ml.MotionFrame:
@@ -258,7 +268,8 @@ class ParkourEnv(DeepMimicEnv):
         state = ParkourState(
             **fields,
             ref_frames34=frames, ref_contacts=contacts, target_xy=targets,
-            replan_timer=jnp.asarray(1, jnp.int32))
+            replan_timer=jnp.asarray(1, jnp.int32),
+            ref_synthetic=jnp.ones((nm,)))
         if nm == 0:
             return state
         # pin mgdm rows to the terrain slot and respawn them on the buffer
@@ -294,7 +305,8 @@ class ParkourEnv(DeepMimicEnv):
                   for f in dataclasses.fields(EnvState)}
         return ParkourState(**fields, ref_frames34=frames,
                             ref_contacts=contacts, target_xy=targets,
-                            replan_timer=jnp.asarray(1, jnp.int32))
+                            replan_timer=jnp.asarray(1, jnp.int32),
+                            ref_synthetic=jnp.ones((frames.shape[0],)))
 
     def _sample_reset_parkour(self, lib, rng: jax.Array, n: int,
                               fail_rates: jax.Array):
@@ -450,7 +462,7 @@ class ParkourEnv(DeepMimicEnv):
             return jnp.where(mask, a, b)
 
         new_frames, new_contacts = state.ref_frames34, state.ref_contacts
-        new_targets = state.target_xy
+        new_targets, new_synth = state.target_xy, state.ref_synthetic
         if nm > 0:
             mg_done = is_done[self.n_dm:]
             sel3 = mg_done.reshape((-1,) + (1,) * 2)
@@ -458,6 +470,8 @@ class ParkourEnv(DeepMimicEnv):
             new_contacts = jnp.where(sel3, r_contacts, state.ref_contacts)
             new_targets = jnp.where(mg_done[:, None], r_targets,
                                     state.target_xy)
+            # reset rows land on synthetic standing windows again
+            new_synth = jnp.where(mg_done, 1.0, state.ref_synthetic)
 
         return state.replace(
             sim=jax.tree.map(sel, r_sim, state.sim),
@@ -469,6 +483,7 @@ class ParkourEnv(DeepMimicEnv):
             ref_frames34=new_frames,
             ref_contacts=new_contacts,
             target_xy=new_targets,
+            ref_synthetic=new_synth,
             replan_timer=state.replan_timer,
             done=done, reward=reward, rng=rng, terminal_obs=obs,
             terminal_times=state.time,

@@ -150,16 +150,24 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
         done_len[newly_done] = frames.shape[1]
         done |= newly_done
 
-    # generate the first window towards the next path node and discard the
-    # synthetic start frames (reference keeps slice(0, seq-1-rewind) of it)
+    # Generate the first window towards the next path node.  Cold start:
+    # the synthetic standing anchor is dropped from the output (reference
+    # keeps slice(0, seq-1-rewind) of the generated window only).  Warm
+    # start: the REAL prev frames stay at the head of the clip so online
+    # replanning (astar_mdm) produces motions continuous with the
+    # character's actual pose.
     rng, key = jax.random.split(rng)
     tgt0 = jnp.broadcast_to(nodes[min(1, len(path_nodes) - 1), 0:2][None],
                             (b, 2))
     first_f, first_c = gen_start(state, terrain, key,
                                  frames[:, -np_prev:],
                                  contacts[:, -np_prev:], tgt0)
-    frames = first_f[:, :seq - 1]
-    contacts = first_c[:, :seq - 1]
+    if cold_start:
+        frames = first_f[:, :seq - 1]
+        contacts = first_c[:, :seq - 1]
+    else:
+        frames = jnp.concatenate([frames, first_f[:, :seq - 1]], axis=1)
+        contacts = jnp.concatenate([contacts, first_c[:, :seq - 1]], axis=1)
     update_progress(frames)
 
     while frames.shape[1] < max_frames and not done.all():

@@ -149,6 +149,16 @@ def test_ddim_without_prev_state(setup):
                             use_prev_state=False)
     np.testing.assert_allclose(np.asarray(free2), np.asarray(free),
                                atol=1e-4)
+    # per-sample mask (reference mgdm_env.py:644-645 per-env tensor):
+    # masked rows match the unconditioned sample, unmasked the conditioned
+    mask = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    mixed = mdm.ddim_sample(state, jax.random.PRNGKey(5),
+                            batch.prev_states, batch.hf, batch.target_dir,
+                            stride=25, use_prev_state=mask)
+    np.testing.assert_allclose(np.asarray(mixed[0]), np.asarray(cond[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mixed[1]), np.asarray(free[1]),
+                               atol=1e-4)
 
 
 def test_guidance_and_inpaint(setup):

@@ -81,8 +81,6 @@ def test_pd_1d_torque_golden(reference_root):
     kp = np.asarray(model.dof_stiffness, np.float32)
     kd = np.asarray(model.dof_damping, np.float32)
     effort = np.asarray(model.dof_motor_effort, np.float32)
-    ref_tau = np.clip(kp * (tar_dof - sim_dof) - kd * dof_vel,
-                      -effort, effort)
 
     joint_rot = cm.dof_to_rot(model, jnp.asarray(sim_dof))
     state = engine.create_state(

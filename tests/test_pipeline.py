@@ -268,6 +268,10 @@ def test_astar_mdm_replan(dataset_yaml, model, tmp_path):
     clip, new_lib = out
     assert clip.frames.shape[-1] == 34
     assert np.all(np.isfinite(clip.frames))
+    # warm start keeps the character's REAL recent frames at the clip head
+    # (reference includes out_prev_state in the generated window) so the
+    # tracked reference is continuous with the current pose
+    np.testing.assert_allclose(clip.frames[:2], prev, atol=1e-5)
     assert new_lib.num_motions == 1
     assert (tmp_path / "astar_mdm.npz").exists()
     reloaded = md.load_motion_data(str(tmp_path / "astar_mdm.npz"))
