@@ -686,6 +686,40 @@ def hf_from_motion(body_pos: np.ndarray, dx: float = 0.4,
     return t.replace(hf=jnp.asarray(hf), hf_mask=jnp.asarray(mask))
 
 
+def hf_from_motion_discrete_heights(terrain: Terrain,
+                                    body_pos: np.ndarray,
+                                    heights) -> Terrain:
+    """Snap motion-touched cells to discrete height levels (reference:
+    util/terrain_util.py:697-737 hf_from_motion_discrete_heights, driven
+    by the MOTION_FORGE terrain GUI, terrain_gui.py:182).
+
+    ``heights`` is an ascending list of allowed levels.  Per cell, the
+    minimum body z that passed over it (min-pooled 7x7 like the
+    reference) picks the first level above ``min_z - 0.5``; cells the
+    motion never touched (``hf_mask`` False) drop to ``heights[0]``.
+
+    ``body_pos`` is (T, B, 3) world body positions (FK output).
+    """
+    heights = np.asarray(heights, np.float32)
+    if heights.ndim != 1 or heights.size == 0 or np.any(np.diff(heights) < 0):
+        raise ValueError("heights must be a non-empty ascending sequence")
+    dims = terrain.dims
+    mn = np.asarray(terrain.min_point)
+    dxdy = np.asarray(terrain.dxdy)
+    pts = np.asarray(body_pos).reshape(-1, 3)
+    ij = np.round((pts[:, 0:2] - mn) / dxdy).astype(np.int64)
+    ij = np.clip(ij, 0, np.asarray(dims) - 1)
+    min_h = np.full(dims, heights[-1], np.float32)
+    np.minimum.at(min_h, (ij[:, 0], ij[:, 1]), pts[:, 2].astype(np.float32))
+    min_h = np.asarray(minpool_hf(jnp.asarray(min_h), None, 7))
+    # first (lowest) level strictly above min_z - 0.5; none -> heights[0]
+    k = np.searchsorted(heights, min_h - 0.5, side="right")
+    snapped = heights[np.where(k < heights.size, k, 0)]
+    mask = np.asarray(terrain.hf_mask)
+    hf = np.where(mask, snapped, heights[0]).astype(np.float32)
+    return terrain.replace(hf=jnp.asarray(hf))
+
+
 def generate_cave(rng: np.random.Generator, x_dim: int = 48,
                   y_dim: int = 48, dx: float = 0.4,
                   num_iterations: int = 5, fill_p: float = 0.5,

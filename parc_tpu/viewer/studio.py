@@ -217,6 +217,30 @@ class Studio:
         self.status = f"edited {len(cells)} cells"
         return self.state()
 
+    def snap_discrete(self, heights=(-2.0, -1.0, 0.0, 1.0, 2.0)) -> dict:
+        """Snap motion-touched terrain cells to discrete height levels
+        (MOTION_FORGE terrain GUI op, terrain_gui.py:182 ->
+        terrain_util.hf_from_motion_discrete_heights)."""
+        from parc_tpu.utils import terrain as terrain_lib
+        from parc_tpu.viewer.render import _body_positions
+        m = self._require_motion()
+        t = self._terrain()
+        bp = _body_positions(self.model, np.asarray(m.frames))
+        dev = t.to_device()
+        if t.hf_mask is None or not np.any(t.hf_mask):
+            # no stored mask: mark the cells under the motion's bodies
+            ij = np.asarray(terrain_lib.get_grid_index(
+                dev, bp[..., 0:2].reshape(-1, 2)))
+            mask = np.zeros(dev.dims, bool)
+            mask[ij[:, 0], ij[:, 1]] = True
+            dev = dev.replace(hf_mask=np.asarray(mask))
+        snapped = terrain_lib.hf_from_motion_discrete_heights(
+            dev, bp, heights)
+        t.hf = np.asarray(snapped.hf)
+        t.hf_mask = np.asarray(snapped.hf_mask)
+        self.status = f"snapped terrain to {len(tuple(heights))} levels"
+        return self.state()
+
     # -- planning -----------------------------------------------------------
     def astar(self, start, end, **settings) -> dict:
         from parc_tpu.procgen import astar as astar_lib
@@ -461,9 +485,10 @@ class Studio:
         return self.state()
 
     # -- dispatch -----------------------------------------------------------
-    OPS = ("state", "load", "save", "procgen", "edit_cells", "astar",
-           "mdm_gen", "optimize", "accept_overlay", "flip", "resample",
-           "slice", "stitch", "recompute_contacts", "set_contact", "track")
+    OPS = ("state", "load", "save", "procgen", "edit_cells", "snap_discrete",
+           "astar", "mdm_gen", "optimize", "accept_overlay", "flip",
+           "resample", "slice", "stitch", "recompute_contacts", "set_contact",
+           "track")
 
     def handle(self, op: str, payload: dict) -> dict:
         if op not in self.OPS:

@@ -64,6 +64,9 @@ PAGE = r"""<!DOCTYPE html>
   <button onclick="api('procgen',{kind:v('pg'),x_dim:+v('pgn'),y_dim:+v('pgn')})">
    generate</button>
  </div>
+ <div class="row">
+  <button onclick="api('snap_discrete',{})">snap to discrete heights</button>
+ </div>
  <h3>planning</h3>
  <div class="row"><span id="se">start: — &nbsp; end: —</span></div>
  <div class="row"><button onclick="runAstar()">run A*</button></div>

@@ -189,3 +189,15 @@ def test_stitch_op(studio, tmp_path):
     assert step.max() < 0.2
     if studio.motion.contacts is not None:
         assert studio.motion.contacts.shape[0] == n
+
+
+def test_snap_discrete(studio):
+    """snap_discrete drops untouched cells to the lowest level and snaps
+    path cells to a discrete level (terrain_gui.py:182 parity op)."""
+    studio.procgen(kind="flat", x_dim=20, y_dim=20)
+    levels = (-2.0, -1.0, 0.0, 1.0)
+    s = studio.handle("snap_discrete", {"heights": levels})
+    hf = np.asarray(s["terrain"]["hf"])
+    assert set(np.unique(hf)).issubset(set(levels))
+    # the walking clip moves along the terrain: some cells stay walkable
+    assert (hf > -2.0).any() and (hf == -2.0).any()

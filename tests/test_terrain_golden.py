@@ -94,3 +94,47 @@ def test_pool_ops_golden(ref_tu):
                                       win))
             np.testing.assert_allclose(ours, t.numpy(), atol=1e-6,
                                        err_msg=f"{name} ref_size={ref_size}")
+
+
+def test_hf_from_motion_discrete_heights(ref_tu):
+    """Discrete-heights terrain snap == a direct transliteration of the
+    reference's post-FK cell loop (util/terrain_util.py:697-737: scatter-min
+    of body z per cell, 7x7 min-pool, first ascending level above
+    min_z - 0.5 on masked cells, heights[0] elsewhere)."""
+    torch, tu = ref_tu
+    rng = np.random.default_rng(7)
+    dims = (14, 11)
+    heights = np.asarray([-2.0, -1.0, 0.0, 0.8, 2.0], np.float32)
+    min_point = np.asarray([-1.0, 0.5], np.float32)
+    dxdy = np.asarray([0.4, 0.4], np.float32)
+    body_pos = np.stack([
+        rng.uniform(-1.2, -1.0 + 14 * 0.4, (30, 5)),
+        rng.uniform(0.3, 0.5 + 11 * 0.4, (30, 5)),
+        rng.uniform(-1.5, 2.5, (30, 5)),
+    ], axis=-1).astype(np.float32)
+    mask = rng.random(dims) < 0.6
+
+    # reference loop, post-FK (terrain_util.py:706-737)
+    min_h = np.full(dims, heights[-1], np.float32)
+    for t in range(body_pos.shape[0]):
+        for b in range(body_pos.shape[1]):
+            ij = np.clip(np.round((body_pos[t, b, 0:2] - min_point) / dxdy)
+                         .astype(int), 0, np.asarray(dims) - 1)
+            min_h[ij[0], ij[1]] = min(min_h[ij[0], ij[1]], body_pos[t, b, 2])
+    pool = torch.nn.MaxPool2d(kernel_size=7, stride=1, padding=3)
+    min_h = -pool(-torch.tensor(min_h).unsqueeze(0))[0].numpy()
+    ref_hf = np.full(dims, heights[0], np.float32)
+    for i in range(dims[0]):
+        for j in range(dims[1]):
+            if mask[i, j]:
+                for k in range(len(heights)):
+                    if min_h[i, j] - 0.5 < heights[k]:
+                        ref_hf[i, j] = heights[k]
+                        break
+
+    terr = terrain_lib.create_terrain(
+        dims[0], dims[1], dx=0.4, min_x=-1.0, min_y=0.5).replace(
+        hf_mask=jnp.asarray(mask))
+    ours = terrain_lib.hf_from_motion_discrete_heights(terr, body_pos,
+                                                       heights)
+    np.testing.assert_allclose(np.asarray(ours.hf), ref_hf, atol=1e-6)
