@@ -48,7 +48,14 @@ def main():
 
     from parc_tpu.physics import engine
 
-    devices = jax.devices()
+    try:
+        devices = jax.devices()
+    except RuntimeError:
+        # The ambient env may pin JAX_PLATFORMS to a stale plugin name
+        # (the remote-TPU plugin has reported as both 'axon' and 'tpu'
+        # across driver versions) — fall back to auto-selection.
+        jax.config.update("jax_platforms", "")
+        devices = jax.devices()
     n_chips = len(devices)
     print(f"# devices: {devices}", file=sys.stderr)
 

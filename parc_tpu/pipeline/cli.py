@@ -130,6 +130,22 @@ def stage_train_tracker(cfg: dict):
                         meta=dataset.dataset_meta(cfg["dataset"]))
 
 
+def _select_checkpoint_step(cfg: dict):
+    """Resolve the ``checkpoint`` option for tracker-consuming stages:
+    'last' (default) / 'best' (highest logged Test_Reward in the retained
+    history — robust to late fail-rate-curriculum reward dips) / an int
+    step."""
+    which = cfg.get("checkpoint", "last")
+    if which in (None, "last"):
+        return None
+    if which == "best":
+        from parc_tpu.pipeline import train_tracker
+        step = train_tracker.best_checkpoint_step(cfg["tracker_dir"])
+        print(f"checkpoint=best -> step {step}")
+        return step
+    return int(which)
+
+
 def stage_record(cfg: dict):
     import jax
     from parc_tpu.envs.base import EnvConfig
@@ -147,8 +163,9 @@ def stage_record(cfg: dict):
     agent = PPOAgent(env, _dataclass_from_dict(PPOConfig, cfg))
     state = agent.init(lib, jax.random.PRNGKey(0))
     from parc_tpu.learning import ppo as ppo_lib
+    step = _select_checkpoint_step(cfg)
     restored = ckpt_lib.restore(f"{cfg['tracker_dir']}/checkpoints",
-                                ppo_lib.persistent_state(state))
+                                ppo_lib.persistent_state(state), step=step)
     state = ppo_lib.merge_persistent(state, restored)
     rcfg = _dataclass_from_dict(record.RecordConfig, cfg)
     results = record.record_motions(agent, lib, state, rcfg)
@@ -177,7 +194,8 @@ def stage_eval(cfg: dict):
     agent = PPOAgent(env, _dataclass_from_dict(PPOConfig, cfg))
     state = agent.init(lib, jax.random.PRNGKey(cfg.get("seed", 0)))
     restored = ckpt_lib.restore(f"{cfg['tracker_dir']}/checkpoints",
-                                ppo_lib.persistent_state(state))
+                                ppo_lib.persistent_state(state),
+                                step=_select_checkpoint_step(cfg))
     state = ppo_lib.merge_persistent(state, restored)
     test_fn = train_tracker.make_test_fn(
         agent, cfg.get("test_steps", 300),
@@ -384,6 +402,10 @@ def main(argv=None):
     p.add_argument("--out_dir", default=None)
     p.add_argument("--mdm_dir", default=None)
     p.add_argument("--tracker_dir", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="tracker checkpoint for record/eval: 'last' "
+                        "(default), 'best' (highest logged Test_Reward), "
+                        "or an int step")
     p.add_argument("--root", default=None)
     p.add_argument("--iter", type=int, default=None)
     p.add_argument("--num_motions", "-n", type=int, default=None)

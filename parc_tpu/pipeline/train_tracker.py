@@ -60,6 +60,54 @@ REWARD_COMPONENT_NAMES = ("pose_r", "vel_r", "root_pose_r", "root_vel_r",
                           "key_pos_r", "contact_r")
 
 
+def best_checkpoint_step(output_dir: str, steps=None) -> Optional[int]:
+    """Checkpoint step with the highest logged ``Test_Reward``.
+
+    The fail-rate curriculum concentrates sampling on the hardest clips as
+    training progresses, so test reward oscillates late in a run; the final
+    checkpoint can land in a dip (the reference records from its latest
+    ``model.pt`` and relies on long stable runs).  Downstream stages
+    (record/eval) may instead pick the best-tested checkpoint from the
+    retained history.
+
+    Reads ``<output_dir>/log.tsv`` (Iteration / Test_Reward columns) and
+    scores each retained checkpoint by the most recent test at or before
+    its step.  Returns None when no log or no checkpoints exist.
+    """
+    import csv
+    import os
+
+    if steps is None:
+        try:
+            steps = ckpt_lib.all_steps(f"{output_dir}/checkpoints")
+        except Exception:
+            return None
+    if not steps:
+        return None
+    log_path = os.path.join(output_dir, "log.tsv")
+    if not os.path.exists(log_path):
+        return steps[-1]
+    tests = []  # (iteration, test_reward), ascending
+    with open(log_path) as f:
+        for row in csv.DictReader(f, delimiter="\t"):
+            try:
+                tests.append((float(row["Iteration"]),
+                              float(row["Test_Reward"])))
+            except (KeyError, ValueError):
+                continue
+    if not tests:
+        return steps[-1]
+    best_step, best_r = None, -np.inf
+    for s in sorted(steps):
+        at_or_before = [r for it, r in tests if it <= s]
+        if not at_or_before:
+            continue
+        r = at_or_before[-1]
+        if r >= best_r:  # ties -> later (more-trained) checkpoint
+            best_step, best_r = s, r
+    return best_step if best_step is not None else steps[-1]
+
+
 def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16,
                  axis_name: Optional[str] = None, n_shards: int = 1):
     """Deterministic-policy evaluation rollout (jitted once; ``lib`` and

@@ -454,3 +454,30 @@ def test_create_dataset_no_pkl_npz_double_listing(tmp_path, model):
         files = [e["file"] for e in yaml.safe_load(f)["motions"]]
     stems = [os.path.splitext(os.path.basename(p))[0] for p in files]
     assert sorted(stems) == ["a", "b"], stems
+
+
+def test_best_checkpoint_step(tmp_path):
+    """Record/eval can pick the highest-Test_Reward checkpoint from the
+    retained history (robust to late fail-rate-curriculum reward dips)."""
+    from parc_tpu.pipeline import train_tracker
+    d = tmp_path / "tracker"
+    d.mkdir()
+    rows = [(1, 0.95), (100, 0.98), (200, 0.72), (300, 0.90),
+            (400, 1.02), (500, 0.99), (600, 0.88)]
+    with open(d / "log.tsv", "w") as f:
+        f.write("Iteration\tTest_Reward\tOther\n")
+        for it, r in rows:
+            f.write(f"{it}.0\t{r}\t0.0\n")
+    # checkpoint at 400 has the best test reward
+    assert train_tracker.best_checkpoint_step(
+        str(d), steps=[200, 400, 600]) == 400
+    # a checkpoint between test logs scores by the latest test <= step
+    assert train_tracker.best_checkpoint_step(
+        str(d), steps=[250, 650]) == 650  # 250 scores 0.72 (test@200), 650 scores 0.88 (test@600)
+    # no log.tsv -> fall back to the last step
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    assert train_tracker.best_checkpoint_step(
+        str(d2), steps=[7, 9]) == 9
+    # no checkpoints at all
+    assert train_tracker.best_checkpoint_step(str(d2), steps=[]) is None
