@@ -51,12 +51,28 @@ class EnvConfig:
     key_bodies: Tuple[str, ...] = ("right_hand", "left_hand",
                                    "right_foot", "left_foot")
     use_contact_info: bool = True
-    # heightfield rays
+    # terrain perception (reference terrain_perception/perception_builder.py):
+    # HF_RAY (cone of rays, the tracker default), HF_GRID (uniform grid),
+    # HF_GRID_C2F (coarse-to-fine grid)
+    terrain_obs_mode: str = "HF_RAY"
+    # HF_RAY fields
     ray_points_behind: int = 2
     ray_points_ahead: int = 60
     ray_num_side: int = 3
     ray_angle: float = 0.26179938779  # 15 deg
     ray_dx: float = 0.05
+    # HF_GRID / HF_GRID_C2F fields
+    grid_dx: float = 0.1
+    grid_dy: float = 0.1
+    grid_num_x_neg: int = 4
+    grid_num_x_pos: int = 25
+    grid_num_y_neg: int = 10
+    grid_num_y_pos: int = 10
+    c2f_num_x: int = 15
+    c2f_num_y: int = 10
+    c2f_root_x_offset: float = 0.5
+    c2f_dx_incr_rate: float = 0.02
+    c2f_dy_incr_rate: float = 0.02
     max_obs_h: float = 3.0
     min_obs_h: float = -3.0
 

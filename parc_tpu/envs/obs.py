@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from parc_tpu.utils import gather as gather_lib
 from parc_tpu.utils import rotation as rot
-from parc_tpu.utils import terrain as terrain_lib
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,19 +113,17 @@ def compute_tar_obs(ref_root_pos, ref_root_rot, tar_root_pos, tar_root_rot,
 
 
 def ray_sample_points(root_pos, root_rot, cfg) -> jax.Array:
-    """World xy sample points of the heightfield ray cone."""
-    heading = rot.calc_heading(root_rot)
-    return terrain_lib.cone_ray_points(
-        root_pos[..., 0:2], heading,
-        num_rays_behind=cfg.ray_points_behind,
-        num_rays_ahead=cfg.ray_points_ahead,
-        num_cone_rays=cfg.ray_num_side,
-        cone_angle=cfg.ray_angle, ray_dx=cfg.ray_dx)
+    """World xy sample points of the configured terrain perception
+    (``cfg.terrain_obs_mode``: HF_RAY cone / HF_GRID / HF_GRID_C2F;
+    reference terrain_perception/perception_builder.py:10-19)."""
+    from parc_tpu.envs import perception
+    return perception.sample_points(root_pos, root_rot,
+                                    perception.local_pattern(cfg))
 
 
 def num_ray_points(cfg) -> int:
-    return ((cfg.ray_points_behind + cfg.ray_points_ahead + 1)
-            * (2 * cfg.ray_num_side + 1))
+    from parc_tpu.envs import perception
+    return perception.num_points(cfg)
 
 
 def compute_hf_obs(hf_batch: jax.Array, min_point: jax.Array,

@@ -133,9 +133,8 @@ class PPOAgent:
                          and jax.default_backend() != "cpu" else None)
         if cfg.actor_net in ("dm_cnn_mlp", "dm_vit"):
             from parc_tpu.learning import vision_nets
-            ecfg = env.cfg
-            hf_shape = (2 * ecfg.ray_num_side + 1,
-                        ecfg.ray_points_behind + ecfg.ray_points_ahead + 1)
+            from parc_tpu.envs import perception
+            hf_shape = perception.hf_shape(env.cfg)
             cls = (vision_nets.DMCnnMlp if cfg.actor_net == "dm_cnn_mlp"
                    else vision_nets.DMViT)
             self.net = cls(action_dim=env.action_dim,

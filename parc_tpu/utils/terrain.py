@@ -272,6 +272,65 @@ def flat_maxpool_2x2(terrain: Terrain) -> Terrain:
     return terrain.replace(hf=hf)
 
 
+def flat_maxpool_3x3(terrain: Terrain) -> Terrain:
+    """Snap each non-overlapping 3x3 block to its max height; a trailing
+    partial block is left untouched (reference: util/terrain_util.py:
+    2099-2113, a viewer terrain-edit op)."""
+    hf = terrain.hf
+    h, w = hf.shape
+    h3, w3 = h - h % 3, w - w % 3
+    blocks = hf[:h3, :w3].reshape(h3 // 3, 3, w3 // 3, 3)
+    pooled = jnp.max(blocks, axis=(1, 3))
+    flat = jnp.repeat(jnp.repeat(pooled, 3, axis=0), 3, axis=1)
+    return terrain.replace(hf=hf.at[:h3, :w3].set(flat))
+
+
+def downsample_terrain(terrain: Terrain) -> Terrain:
+    """Halve the grid resolution: 2x2 max-pool of heights, OR of the mask,
+    doubled cell size (reference: util/terrain_util.py:1631-1673, a viewer
+    terrain-edit op).  Unlike the reference (which resets them), the
+    augmentation bounds are pooled conservatively (max of maxes / min of
+    mins)."""
+    h, w = terrain.hf.shape
+    h2, w2 = (h // 2) * 2, (w // 2) * 2
+
+    def pool(a, fn):
+        return fn(a[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2), axis=(1, 3))
+
+    return Terrain(
+        hf=pool(terrain.hf, jnp.max),
+        hf_mask=pool(terrain.hf_mask, jnp.any),
+        hf_maxmin=jnp.stack([pool(terrain.hf_maxmin[..., 0], jnp.max),
+                             pool(terrain.hf_maxmin[..., 1], jnp.min)],
+                            axis=-1),
+        min_point=terrain.min_point,
+        dxdy=terrain.dxdy * 2,
+    )
+
+
+def remove_sharp_lines(hf: np.ndarray, eps: float = 0.1) -> np.ndarray:
+    """Smooth single-cell ridges/grooves: a cell strictly above (below) both
+    its x- or both its y-neighbours by ``eps`` snaps to the min (max) of its
+    4-neighbourhood.  Sequential raster scan like the reference (updated
+    cells feed later detections; util/terrain_util.py:260-290, a viewer
+    terrain-edit op).  Host numpy — grids are small."""
+    hf = np.array(hf, copy=True)
+    h, w = hf.shape
+    for i in range(1, h - 1):
+        for j in range(1, w - 1):
+            c = hf[i, j]
+            nbrs = (hf[i - 1, j], hf[i + 1, j], hf[i, j - 1], hf[i, j + 1])
+            high = ((c > nbrs[0] + eps and c > nbrs[1] + eps)
+                    or (c > nbrs[2] + eps and c > nbrs[3] + eps))
+            low = ((c < nbrs[0] - eps and c < nbrs[1] - eps)
+                   or (c < nbrs[2] - eps and c < nbrs[3] - eps))
+            if high:
+                hf[i, j] = min(nbrs)
+            elif low:
+                hf[i, j] = max(nbrs)
+    return hf
+
+
 def flatten_4x4_near_edge(hf: np.ndarray, grid_ind, height: float
                           ) -> np.ndarray:
     """Flatten a 4x4 region around a grid cell to ``height``, aligned so

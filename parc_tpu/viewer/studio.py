@@ -217,6 +217,29 @@ class Studio:
         self.status = f"edited {len(cells)} cells"
         return self.state()
 
+    def terrain_filter(self, kind: str = "remove_sharp_lines") -> dict:
+        """Whole-terrain filters from the MOTION_FORGE terrain GUI:
+        remove_sharp_lines (terrain_gui.py:308), flat_maxpool_3x3 (:319),
+        flat_maxpool_2x2, downsample (:157)."""
+        from parc_tpu.utils import terrain as terrain_lib
+        t = self._terrain()
+        if kind == "remove_sharp_lines":
+            t.hf = terrain_lib.remove_sharp_lines(np.asarray(t.hf))
+        elif kind == "flat_maxpool_3x3":
+            t.hf = np.asarray(terrain_lib.flat_maxpool_3x3(t.to_device()).hf)
+        elif kind == "flat_maxpool_2x2":
+            t.hf = np.asarray(terrain_lib.flat_maxpool_2x2(t.to_device()).hf)
+        elif kind == "downsample":
+            new = terrain_lib.downsample_terrain(t.to_device())
+            t.hf = np.asarray(new.hf)
+            t.hf_mask = np.asarray(new.hf_mask)
+            t.hf_maxmin = np.asarray(new.hf_maxmin)
+            t.dxdy = np.asarray(new.dxdy)
+        else:
+            raise StudioError(f"unknown terrain filter {kind!r}")
+        self.status = f"applied terrain filter {kind}"
+        return self.state()
+
     def snap_discrete(self, heights=(-2.0, -1.0, 0.0, 1.0, 2.0)) -> dict:
         """Snap motion-touched terrain cells to discrete height levels
         (MOTION_FORGE terrain GUI op, terrain_gui.py:182 ->
@@ -485,7 +508,8 @@ class Studio:
         return self.state()
 
     # -- dispatch -----------------------------------------------------------
-    OPS = ("state", "load", "save", "procgen", "edit_cells", "snap_discrete",
+    OPS = ("state", "load", "save", "procgen", "edit_cells", "terrain_filter",
+           "snap_discrete",
            "astar", "mdm_gen", "optimize", "accept_overlay", "flip",
            "resample", "slice", "stitch", "recompute_contacts", "set_contact",
            "track")

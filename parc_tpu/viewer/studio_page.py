@@ -67,6 +67,12 @@ PAGE = r"""<!DOCTYPE html>
  <div class="row">
   <button onclick="api('snap_discrete',{})">snap to discrete heights</button>
  </div>
+ <div class="row">
+  <select id="tf"><option>remove_sharp_lines</option>
+   <option>flat_maxpool_2x2</option><option>flat_maxpool_3x3</option>
+   <option>downsample</option></select>
+  <button onclick="api('terrain_filter',{kind:v('tf')})">filter</button>
+ </div>
  <h3>planning</h3>
  <div class="row"><span id="se">start: — &nbsp; end: —</span></div>
  <div class="row"><button onclick="runAstar()">run A*</button></div>

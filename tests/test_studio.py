@@ -201,3 +201,19 @@ def test_snap_discrete(studio):
     assert set(np.unique(hf)).issubset(set(levels))
     # the walking clip moves along the terrain: some cells stay walkable
     assert (hf > -2.0).any() and (hf == -2.0).any()
+
+
+def test_terrain_filter_ops(studio):
+    """MOTION_FORGE terrain GUI filters (terrain_gui.py:157,308,319)."""
+    studio.procgen(kind="boxes", x_dim=16, y_dim=16)
+    for kind in ("remove_sharp_lines", "flat_maxpool_2x2",
+                 "flat_maxpool_3x3"):
+        s = studio.handle("terrain_filter", {"kind": kind})
+        assert np.isfinite(np.asarray(s["terrain"]["hf"])).all(), kind
+        assert np.asarray(s["terrain"]["hf"]).shape == (16, 16), kind
+    s = studio.handle("terrain_filter", {"kind": "downsample"})
+    hf = np.asarray(s["terrain"]["hf"])
+    assert hf.shape == (8, 8)
+    assert np.isfinite(hf).all()
+    with pytest.raises(StudioError):
+        studio.handle("terrain_filter", {"kind": "nope"})

@@ -138,3 +138,55 @@ def test_hf_from_motion_discrete_heights(ref_tu):
     ours = terrain_lib.hf_from_motion_discrete_heights(terr, body_pos,
                                                        heights)
     np.testing.assert_allclose(np.asarray(ours.hf), ref_hf, atol=1e-6)
+
+
+def _ref_terrain(tu, torch, hf, dx=0.4, min_x=-1.0, min_y=0.5):
+    t = tu.SubTerrain("t", hf.shape[0], hf.shape[1], dx, dx, min_x, min_y,
+                      device="cpu")
+    t.hf = torch.tensor(hf)
+    return t
+
+
+def test_remove_sharp_lines_golden(ref_tu):
+    """Sequential ridge/groove smoothing == reference remove_sharp_lines
+    (util/terrain_util.py:260-290)."""
+    torch, tu = ref_tu
+    rng = np.random.default_rng(3)
+    hf = _rand_hf(rng, 14, 11)
+    t = _ref_terrain(tu, torch, hf)
+    tu.remove_sharp_lines(t)
+    ours = terrain_lib.remove_sharp_lines(hf)
+    np.testing.assert_allclose(ours, t.hf.numpy(), atol=1e-6)
+
+
+def test_flat_maxpool_3x3_golden(ref_tu):
+    """Non-overlapping 3x3 block max == reference flat_maxpool_3x3
+    (util/terrain_util.py:2099-2113), incl. untouched partial blocks."""
+    torch, tu = ref_tu
+    rng = np.random.default_rng(4)
+    hf = _rand_hf(rng, 13, 11)  # non-multiples of 3 exercise the tail
+    t = _ref_terrain(tu, torch, hf)
+    tu.flat_maxpool_3x3(t)
+    terr = terrain_lib.create_terrain(13, 11, dx=0.4)
+    ours = terrain_lib.flat_maxpool_3x3(terr.replace(hf=jnp.asarray(hf)))
+    np.testing.assert_allclose(np.asarray(ours.hf), t.hf.numpy(), atol=1e-6)
+
+
+def test_downsample_terrain_golden(ref_tu):
+    """2x2 max-pool downsample == reference downsample_terrain
+    (util/terrain_util.py:1631-1673): heights, mask OR, doubled cell size."""
+    torch, tu = ref_tu
+    rng = np.random.default_rng(5)
+    hf = _rand_hf(rng, 12, 10)
+    mask = rng.random((12, 10)) < 0.3
+    t = _ref_terrain(tu, torch, hf)
+    t.hf_mask = torch.tensor(mask)
+    ref = tu.downsample_terrain(t)
+    terr = terrain_lib.create_terrain(12, 10, dx=0.4).replace(
+        hf=jnp.asarray(hf), hf_mask=jnp.asarray(mask))
+    ours = terrain_lib.downsample_terrain(terr)
+    np.testing.assert_allclose(np.asarray(ours.hf), ref.hf.numpy(),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ours.hf_mask),
+                                  ref.hf_mask.numpy())
+    np.testing.assert_allclose(np.asarray(ours.dxdy), ref.dxdy.numpy())
