@@ -282,8 +282,10 @@ def init_distributed(coordinator_address: Optional[str] = None,
     the same GSPMD programs over DCN+ICI. No-op when already initialized
     or when running single-process.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
+    # NOTE: never probe jax.process_count() here — it initializes the
+    # backend, after which jax.distributed.initialize can no longer run.
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
