@@ -138,7 +138,7 @@ def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
     the replan MDM call sharded too; use GSPMD with use_pallas=False
     there).  ``lib`` and ``state`` are used for pytree structure only.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     num_envs = agent.env.cfg.num_envs
     assert num_envs % mesh.shape["data"] == 0, (
@@ -177,7 +177,7 @@ def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
     fn = shard_map(local_fn, mesh=mesh,
                    in_specs=(lib_spec, state_spec),
                    out_specs=(state_spec, metrics_spec),
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(fn)
 
 
@@ -186,7 +186,7 @@ def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
     """Deterministic-policy rollout under shard_map (bench / eval on a
     multi-chip mesh, Pallas physics kept).  Returns jitted
     fn(lib, env_state, params, obs_norm) -> (env_state, mean_reward)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from parc_tpu.learning import normalizer as norm_lib
 
     num_envs = env_state.done.shape[0]
@@ -228,7 +228,7 @@ def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
         local_fn, mesh=mesh,
         in_specs=(lib_spec, state_spec, P(), P()),
         out_specs=(state_spec, P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)
 
 
@@ -244,7 +244,7 @@ def check_param_sync(mesh: Mesh, params: Any, atol: float = 1e-6) -> float:
     in different orders per participant (measured ~1 ulp on the CPU
     backend); real desyncs are orders of magnitude larger.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_fn(p):
         worst = jnp.zeros(())
@@ -262,7 +262,7 @@ def check_param_sync(mesh: Mesh, params: Any, atol: float = 1e-6) -> float:
         params, jax.tree.map(
             lambda _: NamedSharding(mesh, P()), params))
     fn = shard_map(local_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
-                   check_rep=False)
+                   check_vma=False)
     dev = float(jax.jit(fn)(rep))
     if dev > atol:
         raise AssertionError(

@@ -282,7 +282,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
         # cannot auto-shard a pallas_call). Gradients/normalizer/advantage
         # moments psum over 'data' inside train_iter; test rollouts reduce
         # their episode statistics the same way.
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
         from parc_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh(n_dev, model_parallel=1)
@@ -295,7 +295,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
         test_fn = jax.jit(shard_map(
             test_core, mesh=mesh,
             in_specs=(lib_spec, state_spec, P()), out_specs=P(),
-            check_rep=False))
+            check_vma=False))
         lib = jax.device_put(
             lib, jax.tree.map(lambda _: NamedSharding(mesh, P()), lib))
         state = state.replace(env_state=jax.device_put(

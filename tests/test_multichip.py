@@ -97,14 +97,14 @@ def test_check_param_sync():
 
     # fabricate drifted replicas: stack per-device values that differ
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def make_drift():
         def local(x):
             idx = jax.lax.axis_index("data").astype(jnp.float32)
             return x + idx * 1e-3
         f = shard_map(local, mesh=mesh, in_specs=(P(),), out_specs=P(),
-                      check_rep=False)
+                      check_vma=False)
         return jax.jit(f)(jnp.ones((16, 8)))
 
     drifted = {"w": make_drift()}
