@@ -32,10 +32,16 @@ EOF
 python -m parc_tpu.pipeline.cli create_dataset \
     --motions_dir "$OUT/seed_motions" --out "$OUT/seed.yaml"
 
-# 1. kin_gen from the scale-run MDM checkpoint
-python -m parc_tpu.pipeline.cli kin_gen --dataset "$OUT/seed.yaml" \
-    --mdm_dir /tmp/mdm_scale --out_dir "$OUT/kin_gen" \
-    --num_motions "$NUM_MOTIONS"
+# 1. kin_gen from the scale-run MDM checkpoint (skipped when a previous
+# attempt already generated enough clips — stages are resumable; the
+# tracker below likewise resumes from its latest checkpoint)
+if [ "$(ls "$OUT/kin_gen" 2>/dev/null | wc -l)" -lt "$NUM_MOTIONS" ]; then
+    python -m parc_tpu.pipeline.cli kin_gen --dataset "$OUT/seed.yaml" \
+        --mdm_dir /tmp/mdm_scale --out_dir "$OUT/kin_gen" \
+        --num_motions "$NUM_MOTIONS"
+else
+    echo "kin_gen: reusing $(ls "$OUT/kin_gen" | wc -l) existing clips"
+fi
 
 # 2. dataset over seed + generated clips
 mkdir -p "$OUT/motions_iter1"
@@ -48,9 +54,10 @@ python -m parc_tpu.pipeline.cli create_dataset \
 python -m parc_tpu.pipeline.cli train_tracker --dataset "$OUT/iter1.yaml" \
     --out_dir "$OUT/tracker" --num_envs 4096 --max_iters "$ITERS"
 
-# 4. record physically-corrected motions
+# 4. record physically-corrected motions from the best-tested checkpoint
 python -m parc_tpu.pipeline.cli record --dataset "$OUT/iter1.yaml" \
-    --tracker_dir "$OUT/tracker" --out_dir "$OUT/recorded"
+    --tracker_dir "$OUT/tracker" --out_dir "$OUT/recorded" \
+    --checkpoint best
 
 # 5. next-iteration manifest
 mkdir -p "$OUT/motions_iter2"
