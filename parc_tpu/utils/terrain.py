@@ -467,22 +467,32 @@ def slice_terrain_around_points(terrain: Terrain, points_xy: np.ndarray,
 def add_boxes(rng: np.random.Generator, hf: np.ndarray, num_boxes: int = 32,
               box_min_height: float = -3.0, box_max_height: float = 3.0,
               box_min_len: int = 1, box_max_len: int = 6,
-              hf_maxmin: Optional[np.ndarray] = None) -> np.ndarray:
-    """Stamp random axis-aligned raised/lowered boxes onto the heightfield."""
+              hf_maxmin: Optional[np.ndarray] = None,
+              min_angle: float = 0.0,
+              max_angle: float = 2.0 * np.pi) -> np.ndarray:
+    """Stamp random (optionally rotated) raised/lowered boxes onto the
+    heightfield (reference: util/terrain_util.py:864-917 add_boxes_to_hf2 —
+    boxes are rotated by a uniform angle about their center; pass
+    ``max_angle=0`` for axis-aligned stamps).  ``hf_maxmin`` clamps the
+    result into per-cell motion-protected bounds."""
     h, w = hf.shape
     hf = hf.copy()
+    gx, gy = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
     for _ in range(num_boxes):
-        bl = rng.integers(box_min_len, box_max_len + 1)
-        bw = rng.integers(box_min_len, box_max_len + 1)
-        i = rng.integers(0, max(1, h - bl))
-        j = rng.integers(0, max(1, w - bw))
-        height = rng.uniform(box_min_height, box_max_height)
-        patch = np.full((bl, bw), height, hf.dtype)
-        if hf_maxmin is not None:
-            patch = np.clip(patch, hf_maxmin[i:i + bl, j:j + bw, 1],
-                            hf_maxmin[i:i + bl, j:j + bw, 0])
-        hf[i:i + bl, j:j + bw] = patch
-    return hf
+        c = rng.uniform(0.0, 1.0, size=2) * np.asarray([h, w], np.float32)
+        blen = rng.uniform(box_min_len, box_max_len, size=2)
+        ang = rng.uniform(min_angle, max_angle)
+        height = np.float32(rng.uniform(box_min_height, box_max_height))
+        rel_x, rel_y = gx - c[0], gy - c[1]
+        ca, sa = np.cos(ang), np.sin(ang)
+        rx = ca * rel_x - sa * rel_y
+        ry = sa * rel_x + ca * rel_y
+        in_box = (np.abs(rx) < blen[0] / 2) & (np.abs(ry) < blen[1] / 2)
+        hf = np.where(in_box, height, hf)
+    if hf_maxmin is not None:
+        hf = np.clip(hf, hf_maxmin[..., 1], hf_maxmin[..., 0])
+    return hf.astype(np.float32)
 
 
 def add_boxes_at_points(rng: np.random.Generator, hf: np.ndarray,
