@@ -407,6 +407,19 @@ def compute_hf_maxmin(terrain: Terrain, body_points: jax.Array,
                            hf_maxmin=jnp.stack([hmax, hmin], axis=-1))
 
 
+def merge_hfs(hf1: jax.Array, hf_mask: jax.Array, hf_maxmin: Optional[jax.Array],
+              hf2: jax.Array) -> jax.Array:
+    """Merge a motion-protected heightfield with a free-form edit: keep
+    ``hf1`` where the motion mask is set, take ``hf2`` elsewhere, clamped
+    into the motion-aware ``hf_maxmin`` bounds (reference:
+    util/terrain_util.py:1349-1365 merge_hfs)."""
+    merged = jnp.where(hf_mask, hf1, hf2)
+    if hf_maxmin is not None:
+        clamped = jnp.clip(merged, hf_maxmin[..., 1], hf_maxmin[..., 0])
+        merged = jnp.where(hf_mask, merged, clamped)
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # Slicing / padding (host-friendly, shapes change)
 # ---------------------------------------------------------------------------

@@ -96,6 +96,31 @@ def test_pool_ops_golden(ref_tu):
                                        err_msg=f"{name} ref_size={ref_size}")
 
 
+def test_merge_hfs_golden(ref_tu):
+    """merge_hfs: keep hf1 under the motion mask, hf2 (maxmin-clamped)
+    elsewhere (util/terrain_util.py:1349-1365)."""
+    torch, tu = ref_tu
+    rng = np.random.default_rng(5)
+    hf1 = _rand_hf(rng)
+    hf2 = _rand_hf(rng, lo=-2.0, hi=2.0)
+    mask = rng.uniform(size=hf1.shape) < 0.4
+    maxmin = np.stack([hf1 + 0.3, hf1 - 0.3], axis=-1).astype(np.float32)
+
+    ref = tu.merge_hfs(torch.tensor(hf1), torch.tensor(mask),
+                       torch.tensor(maxmin), torch.tensor(hf2))
+    ours = np.asarray(terrain_lib.merge_hfs(
+        jnp.asarray(hf1), jnp.asarray(mask), jnp.asarray(maxmin),
+        jnp.asarray(hf2)))
+    np.testing.assert_allclose(ours, ref.numpy(), atol=1e-6)
+
+    # maxmin=None passthrough
+    ref = tu.merge_hfs(torch.tensor(hf1), torch.tensor(mask), None,
+                       torch.tensor(hf2))
+    ours = np.asarray(terrain_lib.merge_hfs(
+        jnp.asarray(hf1), jnp.asarray(mask), None, jnp.asarray(hf2)))
+    np.testing.assert_allclose(ours, ref.numpy(), atol=1e-6)
+
+
 def test_hf_from_motion_discrete_heights(ref_tu):
     """Discrete-heights terrain snap == a direct transliteration of the
     reference's post-FK cell loop (util/terrain_util.py:697-737: scatter-min
