@@ -203,25 +203,32 @@ class MDM:
         # match the predicted joint_pos features
         joint_rot = cm.dof_to_rot(self.model, p["dof"])
         root_quat = rot.exp_map_to_quat(p["root_rot"])
-        body_pos, _ = cm.forward_kinematics(self.model, p["root_pos"],
-                                            root_quat, joint_rot)
+        body_pos, body_rot = cm.forward_kinematics(self.model, p["root_pos"],
+                                                   root_quat, joint_rot)
         fk_joint_pos = (body_pos[..., 1:, :] - p["root_pos"][..., None, :])
         fk_flat = fk_joint_pos.reshape(fk_joint_pos.shape[:-2] + (-1,))
         losses["body_pos_consistency"] = (
             cfg.w_body_pos_consistency
             * m((fk_flat - p["joint_pos"])**2))
 
-        # heightfield collision: predicted body points must stay above the
-        # local hf (canonical coords; hf already relative to canon z)
-        abs_body = (p["joint_pos"].reshape(p["joint_pos"].shape[:-1]
-                                           + (self.model.num_bodies - 1, 3))
-                    + p["root_pos"][..., None, :])
-        bx = abs_body[..., 0] / scfg.hf_dx + scfg.hf_num_x_neg
-        by = abs_body[..., 1] / scfg.hf_dx + scfg.hf_num_y
+        # heightfield collision: the engine's per-geom contact point cloud,
+        # transformed by the FK body frames, must stay above the local hf
+        # (canonical coords; hf already relative to canon z).  Reference:
+        # util/terrain_util.py:1895-1949 motion_frames_hf_sdf_loss rotates
+        # geom_util char point samples by FK body rotations; we reuse the
+        # same 52-point contact cloud the physics engine collides with,
+        # with each point's radius as its required clearance.
+        pb = self.model.contact_point_body          # (P,)
+        pts = (rot.quat_rotate(body_rot[..., pb, :],
+                               self.model.contact_point_offset)
+               + body_pos[..., pb, :])              # (B, T, P, 3)
+        bx = pts[..., 0] / scfg.hf_dx + scfg.hf_num_x_neg
+        by = pts[..., 1] / scfg.hf_dx + scfg.hf_num_y
         ix = jnp.clip(jnp.round(bx).astype(jnp.int32), 0, scfg.hf_dim_x - 1)
         iy = jnp.clip(jnp.round(by).astype(jnp.int32), 0, scfg.hf_dim_y - 1)
         hf_at = batch.hf[jnp.arange(batch.hf.shape[0])[:, None, None], ix, iy]
-        pen = jnp.maximum(hf_at - abs_body[..., 2] + 0.05, 0.0)
+        clearance = pts[..., 2] - self.model.contact_point_radius
+        pen = jnp.maximum(hf_at - clearance, 0.0)
         losses["hf_collision"] = cfg.w_hf * m(pen**2)
 
         # target direction: net root xy displacement should follow target
