@@ -170,13 +170,25 @@ def _torque_cols(model: cm.CharModel, params, joint_rot_c, dv, act, qtar_c,
                 d_extra.append(h * kd_eff)
     tau = [clip(t, d) for d, t in enumerate(tau)]
 
-    if params.hard_joint_limits:
-        # hard mode: limits enforced by projection in _limit_project_cols
-        return tau, d_extra
-
-    # joint-limit penalty springs
     lo = np.asarray(model.dof_limits_lower, np.float64)
     hi = np.asarray(model.dof_limits_upper, np.float64)
+
+    if params.hard_joint_limits:
+        # hard mode: stiff SPD-implicit unilateral boundary spring
+        # (engine.compute_joint_torques hard branch)
+        d_eff = params.hard_limit_damping + h * params.hard_limit_stiffness
+        out, dx = [], []
+        for d in range(model.dof_size):
+            over = jnp.maximum(dof_pos[d] - float(hi[d]), 0.0)
+            under = jnp.maximum(float(lo[d]) - dof_pos[d], 0.0)
+            viol = ((over > 0) | (under > 0)).astype(jnp.float32)
+            t_lim = (-params.hard_limit_stiffness * (over - under)
+                     - d_eff * viol * dv[d])
+            out.append(tau[d] + t_lim)
+            dx.append(d_extra[d] + h * d_eff * viol)
+        return out, dx
+
+    # joint-limit penalty springs
     out = []
     for d in range(model.dof_size):
         over = jnp.maximum(dof_pos[d] - float(hi[d]), 0.0)
@@ -186,62 +198,6 @@ def _torque_cols(model: cm.CharModel, params, joint_rot_c, dv, act, qtar_c,
                  - params.limit_damping * jnp.where(viol, dv[d], 0.0))
         out.append(tau[d] + t_lim)
     return out, d_extra
-
-
-def _limit_project_cols(model: cm.CharModel, joint_rot_c, dv):
-    """Column port of engine.project_joint_limits (hard joint limits),
-    including the chart-boundary guard (joints with exp-map norm within
-    0.2 of pi are left untouched)."""
-    lo = np.asarray(model.dof_limits_lower, np.float64)
-    hi = np.asarray(model.dof_limits_upper, np.float64)
-    dof_map = np.asarray(model.dof_map)
-    jq_exp = [_quat_to_exp_map_cols(joint_rot_c[j])
-              for j in range(model.num_bodies - 1)]
-    dof_pos = _project_to_dof_cols(model, jq_exp)
-    # per-joint chart-safety (exp-map norm away from the pi boundary)
-    exp_j = _joint_exp_maps_cols(model, dof_pos)
-    zero = dv[0] * 0.0
-
-    def arr(c):
-        return zero + c if isinstance(c, float) else c
-
-    safe = []
-    for j in range(model.num_bodies - 1):
-        w = [arr(c) for c in exp_j[j]]
-        nrm = jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2])
-        safe.append(nrm < (np.pi - 0.2))
-    # dof safety = safety of its owning joint
-    safe_dof = [None] * model.dof_size
-    for j in range(model.num_bodies - 1):
-        for d in range(model.dof_size):
-            if np.any(dof_map[j, :, d] != 0.0):
-                safe_dof[d] = (safe[j] if safe_dof[d] is None
-                               else safe_dof[d] | safe[j])
-    clamped, viol, dv_new = [], [], []
-    for d in range(model.dof_size):
-        h_ = dof_pos[d] >= float(hi[d])
-        l_ = dof_pos[d] <= float(lo[d])
-        sd = safe_dof[d] if safe_dof[d] is not None else (zero > 1)
-        viol.append((h_ | l_) & sd)
-        clamped.append(jnp.clip(dof_pos[d], float(lo[d]), float(hi[d])))
-        v = jnp.where(h_ & sd & (dv[d] > 0), 0.0, dv[d])
-        dv_new.append(jnp.where(l_ & sd & (v < 0), 0.0, v))
-    cl_exp = _joint_exp_maps_cols(model, clamped)
-    joint_new = []
-    for j in range(model.num_bodies - 1):
-        owned = [d for d in range(model.dof_size)
-                 if np.any(dof_map[j, :, d] != 0.0)]
-        if not owned:
-            joint_new.append(joint_rot_c[j])
-            continue
-        vj = viol[owned[0]]
-        for d in owned[1:]:
-            vj = vj | viol[d]
-        q_new = _quat_normalize_cols(_exp_map_to_quat_cols(
-            [arr(w) for w in cl_exp[j]]))
-        joint_new.append([jnp.where(vj, q_new[c], joint_rot_c[j][c])
-                          for c in range(4)])
-    return joint_new, dv_new
 
 
 def _integrate_cols(model: cm.CharModel, root_pos, root_rot, root_vel,
@@ -365,8 +321,6 @@ def _substep_kernel(model, params, h, lstate, lfext, lconst,
      dv_new) = _integrate_cols(model, root_pos, root_rot, root_vel,
                                root_ang_vel, joint_rot_c, dv, root_acc,
                                qdd, h)
-    if params.hard_joint_limits:
-        joint_new, dv_new = _limit_project_cols(model, joint_new, dv_new)
     fk_pos, fk_quat, fk_lin, fk_ang = aba_soa.fk_vel_cols(
         model, pos_new, rot_new,
         joint_new, vel_new, ang_new, dv_new)

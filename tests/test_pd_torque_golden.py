@@ -59,8 +59,9 @@ def test_pd_exp_torque_golden(reference_root):
         model, jnp.zeros((n, 3)), jnp.tile(jnp.asarray([0., 0., 0., 1.]),
                                            (n, 1)),
         joint_rot, dof_vel=jnp.asarray(dof_vel))
-    params = engine.SimParams(control_mode="pd_exp",
-                              hard_joint_limits=True)  # no limit springs
+    params = engine.SimParams(control_mode="pd_exp",  # no limit torque:
+                              hard_joint_limits=False,
+                              limit_stiffness=0.0, limit_damping=0.0)
     tau, d_extra = engine.compute_joint_torques(
         model, params, state, jnp.asarray(tar_dof), dt=1.0 / 60.0)
 
@@ -87,7 +88,9 @@ def test_pd_1d_torque_golden(reference_root):
         model, jnp.zeros((n, 3)), jnp.tile(jnp.asarray([0., 0., 0., 1.]),
                                            (n, 1)),
         joint_rot, dof_vel=jnp.asarray(dof_vel))
-    params = engine.SimParams(control_mode="pd_1d", hard_joint_limits=True)
+    params = engine.SimParams(control_mode="pd_1d",  # no limit torque
+                              hard_joint_limits=False,
+                              limit_stiffness=0.0, limit_damping=0.0)
     tau, _ = engine.compute_joint_torques(
         model, params, state, jnp.asarray(tar_dof), dt=1.0 / 60.0)
     # rot_to_dof(dof_to_rot(x)) may wrap exp-maps; compare through the

@@ -269,9 +269,13 @@ def test_quadruped_character(flat_terrain):
 
 
 def test_hard_joint_limits(model, flat_terrain):
-    """hard_joint_limits=True keeps dof positions inside [lower, upper]
-    under aggressive PD targets far beyond the limits, stays stable, and
-    matches the chart semantics of engine.project_joint_limits."""
+    """hard_joint_limits=True (the default): the SPD-implicit boundary
+    spring holds dof positions at [lower, upper] to within the boundary-
+    spring equilibrium under the worst sustained load: saturated PD
+    torque at the strongest joint (motor effort / hard_limit_stiffness =
+    0.06 rad) plus gravity-borne joint loads, which are NOT capped by
+    motor effort (a collapsing body can lean on a limit).  Measured
+    worst violation here: 0.063 rad; assert < 0.08."""
     params = engine.SimParams(hard_joint_limits=True, use_pallas=False)
     state = _default_state(model, batch=(4,))
     # PD targets pushing every dof well past its upper limit
@@ -286,33 +290,32 @@ def test_hard_joint_limits(model, flat_terrain):
     hi = np.asarray(model.dof_limits_upper)
     over = np.asarray(dof_pos) - hi
     under = lo - np.asarray(dof_pos)
-    # limits respected up to chart wrap tolerance (joints near the exp-map
-    # pi boundary are exempted by design)
-    jmat = engine.joint_dof_matrix(model)
-    exp = np.asarray(cm.joint_exp_maps(model, dof_pos))
-    safe_j = np.linalg.norm(exp, axis=-1) < (np.pi - 0.2)
-    safe_d = (safe_j @ jmat) > 0
-    assert np.all(over[safe_d] < 1e-3), float(over[safe_d].max())
-    assert np.all(under[safe_d] < 1e-3), float(under[safe_d].max())
+    bound = 0.08
+    assert np.all(over < bound), float(over.max())
+    assert np.all(under < bound), float(under.max())
     assert np.all(np.isfinite(np.asarray(state.root_pos)))
 
 
-def test_project_joint_limits_interior_noop(model):
-    """Interior states in the safe chart region are untouched."""
+def test_hard_limits_inactive_in_interior(model):
+    """The hard-limit boundary spring contributes NOTHING for interior dof
+    states: torques match the soft mode (whose penalty springs also vanish
+    in the interior), so the limit model only acts at the boundary."""
     rng = np.random.default_rng(3)
     lo = np.asarray(model.dof_limits_lower)
     hi = np.asarray(model.dof_limits_upper)
-    dof = rng.uniform(lo, hi, size=(8, model.dof_size)).astype(np.float32)
-    dof = np.clip(dof, lo + 0.05, hi - 0.05)
-    # keep every joint inside the chart-safe ball
-    exp = np.asarray(cm.joint_exp_maps(model, jnp.asarray(dof)))
-    scale = np.minimum(1.0, (np.pi - 0.4)
-                       / np.maximum(np.linalg.norm(exp, axis=-1), 1e-6))
-    jmat = engine.joint_dof_matrix(model)  # (J-1, D)
-    dof_scale = scale @ jmat + (1.0 - (np.ones_like(scale) @ jmat > 0))
-    dof = (dof * np.minimum(dof_scale, 1.0)).astype(np.float32)
+    dof = rng.uniform(lo + 0.05, np.maximum(hi - 0.05, lo + 0.05),
+                      size=(8, model.dof_size)).astype(np.float32)
     q = cm.dof_to_rot(model, jnp.asarray(dof))
-    dv = jnp.asarray(rng.normal(size=(8, model.dof_size)).astype(np.float32))
-    q2, dv2 = engine.project_joint_limits(model, q, dv)
-    np.testing.assert_allclose(np.asarray(q2), np.asarray(q), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(dv2), np.asarray(dv), atol=1e-6)
+    state = _default_state(model, batch=(8,)).replace(joint_rot=q)
+    state = state.replace(dof_vel=jnp.asarray(
+        rng.normal(size=(8, model.dof_size)).astype(np.float32)))
+    tar = jnp.zeros((8, model.dof_size))
+    dt = 1.0 / 120.0
+    t_hard, d_hard = engine.compute_joint_torques(
+        model, engine.SimParams(hard_joint_limits=True), state, tar, dt)
+    t_soft, d_soft = engine.compute_joint_torques(
+        model, engine.SimParams(hard_joint_limits=False), state, tar, dt)
+    np.testing.assert_allclose(np.asarray(t_hard), np.asarray(t_soft),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_hard), np.asarray(d_soft),
+                               atol=1e-6)
