@@ -162,6 +162,17 @@ class DeepMimicEnv:
                 lo[o], hi[o] = mid - scale, mid + scale
         return lo, hi  # host numpy (closed-over constants)
 
+    def local_shard(self, n_shards: int) -> "DeepMimicEnv":
+        """Per-shard env clone for shard_map data parallelism: the same env
+        with ``cfg.num_envs / n_shards`` envs.  Row semantics here are
+        batch-size agnostic, so the clone behaves identically on its local
+        slice of a P('data')-sharded batch (parallel/mesh.py)."""
+        import dataclasses as _dc
+        assert self.cfg.num_envs % n_shards == 0, (
+            f"num_envs {self.cfg.num_envs} not divisible by {n_shards}")
+        cfg = _dc.replace(self.cfg, num_envs=self.cfg.num_envs // n_shards)
+        return DeepMimicEnv(self.model, self.sim_params, cfg)
+
     # ------------------------------------------------------------------
     # Reset
     # ------------------------------------------------------------------

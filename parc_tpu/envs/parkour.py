@@ -154,6 +154,40 @@ class ParkourEnv(DeepMimicEnv):
         mask[self.n_dm:] = True
         self.mgdm_mask = mask                      # static numpy
 
+    def local_shard(self, n_shards: int) -> "ParkourEnv":
+        """Per-shard clone for shard_map data parallelism: both the env
+        batch AND the mgdm fraction split across shards, so each shard
+        runs its own local MDM replan (the reference trains the full
+        parkour composition data-parallel the same way — every process
+        owns a dm+mgdm slice, ig_parkour_env.py:53 + mp_optimizer.py:83-90).
+
+        The global state must be laid out shard-major first
+        (:meth:`shard_row_permutation`) so a contiguous P('data') split
+        hands each shard ``[n_dm/D dm rows | mgdm_num/D mgdm rows]``."""
+        assert self.cfg.num_envs % n_shards == 0, (
+            f"num_envs {self.cfg.num_envs} not divisible by {n_shards}")
+        assert self.pcfg.mgdm_num % n_shards == 0, (
+            f"mgdm_num {self.pcfg.mgdm_num} not divisible by {n_shards}")
+        cfg = dataclasses.replace(
+            self.cfg, num_envs=self.cfg.num_envs // n_shards)
+        pcfg = dataclasses.replace(
+            self.pcfg, mgdm_num=self.pcfg.mgdm_num // n_shards)
+        return ParkourEnv(self.model, self.sim_params, cfg, pcfg, self.mdm,
+                          self.mgdm_terrain)
+
+    def shard_row_permutation(self, n_shards: int) -> np.ndarray:
+        """Env-row permutation from the global ``[dm... | mgdm...]`` layout
+        to shard-major blocks ``[dm_0|mg_0, dm_1|mg_1, ...]``: after
+        applying it, sharding the env batch on 'data' gives shard i the
+        contiguous local layout the :meth:`local_shard` env expects.  The
+        per-mgdm-row buffers (ref_frames34 & co, leading dim mgdm_num)
+        already split correctly under P('data') and need no permutation."""
+        nd, nm = self.n_dm, self.pcfg.mgdm_num
+        assert nd % n_shards == 0 and nm % n_shards == 0
+        dm = np.arange(nd).reshape(n_shards, -1)
+        mg = nd + np.arange(nm).reshape(n_shards, -1)
+        return np.concatenate([dm, mg], axis=1).reshape(-1)
+
     # -- lib plumbing ----------------------------------------------------
     def make_lib(self, lib: ml.MotionLib,
                  mdm_state: MDMState) -> ParkourLib:

@@ -94,10 +94,20 @@ def env_state_pspec(env_state: Any, num_envs: int) -> Any:
     per-MOTION leaves explicitly replicated. The leading-dim heuristic
     alone is a trap: fail_rates has shape (num_motions,), which collides
     with (num_envs,) whenever a run uses one env per motion (the record
-    stage always does)."""
+    stage always does).
+
+    ParkourState adds per-mgdm-row leaves (leading dim mgdm_num, NOT
+    num_envs): the generated-reference buffers shard on 'data' (contiguous
+    blocks match the shard-major env layout — ParkourEnv.local_shard);
+    the synchronized replan timer is a cross-shard-identical scalar."""
     specs = jax.tree.map(lambda x: env_batch_pspec(x, num_envs), env_state)
     if hasattr(specs, "fail_rates"):
         specs = specs.replace(fail_rates=P())
+    if hasattr(specs, "ref_frames34"):
+        specs = specs.replace(
+            ref_frames34=P("data"), ref_contacts=P("data"),
+            target_xy=P("data"), ref_synthetic=P("data"),
+            replan_timer=P())
     return specs
 
 
@@ -119,6 +129,48 @@ def agent_state_pspec(state: Any, num_envs: int) -> Any:
     )
 
 
+def local_agent(agent, n_shards: int):
+    """Shallow agent clone whose env is the per-shard local env
+    (env.local_shard): inside shard_map every env method then sees the
+    batch size and static row split (ParkourEnv dm|mgdm) of its own shard.
+    Net/optimizer/action bounds are shared with the global agent, so
+    params pytrees are interchangeable."""
+    import copy
+    if n_shards <= 1 or not hasattr(agent.env, "local_shard"):
+        return agent
+    clone = copy.copy(agent)
+    clone.env = agent.env.local_shard(n_shards)
+    return clone
+
+
+def shard_major_env_state(env, env_state: Any, n_shards: int) -> Any:
+    """Permute env-batch rows into shard-major blocks when the env has a
+    static row split (ParkourEnv.shard_row_permutation); identity for
+    row-iid envs (DeepMimic).  Apply ONCE to a freshly-reset state before
+    sharding it on 'data' — training keeps the layout (persistent
+    checkpoints hold no per-env rows, learning/ppo.py persistent_state)."""
+    perm_fn = getattr(env, "shard_row_permutation", None)
+    if perm_fn is None or n_shards <= 1:
+        return env_state
+    perm = jnp.asarray(perm_fn(n_shards))
+    n = env.cfg.num_envs
+
+    def take(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+            return jnp.take(x, perm, axis=0)
+        return x
+
+    new_state = jax.tree.map(take, env_state)
+    # per-motion / per-mgdm-row leaves are NOT env rows; restore them
+    # (they already split correctly as contiguous 'data' blocks)
+    for field in ("fail_rates", "ref_frames34", "ref_contacts",
+                  "target_xy", "ref_synthetic"):
+        if hasattr(new_state, field):
+            new_state = new_state.replace(
+                **{field: getattr(env_state, field)})
+    return new_state
+
+
 def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
     """Data-parallel PPO ``train_iter`` under ``shard_map`` — the multichip
     path that KEEPS the Pallas physics kernel (GSPMD auto-partitioning
@@ -134,9 +186,14 @@ def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
     synchronized through the gradient allreduce cadence
     (learning/mp_optimizer.py:83-90, dm_env.py:720-783).
 
-    DeepMimic envs only (ParkourState's generated-reference buffers need
-    the replan MDM call sharded too; use GSPMD with use_pallas=False
-    there).  ``lib`` and ``state`` are used for pytree structure only.
+    Supports DeepMimicEnv AND ParkourEnv/MGDMEnv: each shard runs a local
+    env clone (env.local_shard) with its own dm|mgdm slice, so the
+    ``lax.cond`` MDM replan executes per shard on the local mgdm batch —
+    the reference's per-process mgdm replan under NCCL DP
+    (envs/ig_parkour/ig_parkour_env.py:53, mgdm_env.py:575-826).  For
+    parkour, ``state.env_state`` must be in shard-major row layout
+    (shard_major_env_state).  ``lib`` and ``state`` are used for pytree
+    structure only.
     """
     from jax import shard_map
 
@@ -146,6 +203,7 @@ def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
         f"{mesh.shape['data']}")
     state_spec = agent_state_pspec(state, num_envs)
     lib_spec = jax.tree.map(lambda x: P(), lib)
+    shard_agent = local_agent(agent, mesh.shape["data"])
 
     def local_fn(lib, st):
         didx = jax.lax.axis_index("data")
@@ -157,7 +215,8 @@ def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
             rng=jax.random.fold_in(rng_local, didx),
             env_state=st.env_state.replace(
                 rng=jax.random.fold_in(env_rng_local, didx)))
-        new_state, metrics = agent.train_iter(lib, st, axis_name="data")
+        new_state, metrics = shard_agent.train_iter(lib, st,
+                                                    axis_name="data")
         counts = (jax.lax.psum(metrics.num_dones, "data"),
                   jax.lax.psum(metrics.num_fails, "data"))
         metrics = jax.tree.map(lambda m: jax.lax.pmean(m, "data"), metrics)
@@ -192,6 +251,8 @@ def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
     num_envs = env_state.done.shape[0]
     state_spec = env_state_pspec(env_state, num_envs)
     lib_spec = jax.tree.map(lambda x: P(), lib)
+    if hasattr(env, "local_shard"):
+        env = env.local_shard(mesh.shape["data"])
 
     pool_k = 4
 

@@ -19,9 +19,7 @@ import jax.numpy as jnp
 
 from parc_tpu.anim import motion_lib as ml
 from parc_tpu.envs.base import DoneFlags
-from parc_tpu.envs.deepmimic import DeepMimicEnv
 from parc_tpu.learning import normalizer as norm_lib
-from parc_tpu.learning.networks import ActorCritic
 from parc_tpu.learning import ppo as ppo_lib
 from parc_tpu.learning.ppo import AgentState, PPOAgent
 from parc_tpu.utils import checkpoint as ckpt_lib
@@ -122,11 +120,13 @@ def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16,
     dm_ppo_return_tracker.py), and the 7 tracking-error components
     (reference: learning/dm_ppo_agent.py:162-219).
 
-    With ``axis_name`` the returned fn is shard_map-ready: each shard
-    rolls out its local env slice, the stopping decision and all episode
-    statistics reduce over the axis (one global report, every chip stops
-    on the same step). The raw fn is returned (caller wraps in
-    shard_map+jit); without ``axis_name`` it is jitted here.
+    With ``axis_name`` the returned fn is shard_map-ready: pass the PER-
+    SHARD agent (parallel/mesh.local_agent — its env.cfg.num_envs is the
+    local batch); each shard rolls out its local env slice, the stopping
+    decision and all episode statistics reduce over the axis (one global
+    report, every chip stops on the same step). The raw fn is returned
+    (caller wraps in shard_map+jit); without ``axis_name`` it is jitted
+    here.
     """
     env = agent.env
     psum = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
@@ -135,7 +135,7 @@ def make_test_fn(agent: PPOAgent, max_steps: int, test_episodes: int = 16,
     def test_fn(lib, state: AgentState, rng):
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        es = env.reset(lib, rng, num_envs=env.cfg.num_envs // n_shards)
+        es = env.reset(lib, rng, num_envs=env.cfg.num_envs)
         n = es.done.shape[0]
         min_eps = -(-int(test_episodes) // (n * n_shards))   # static ceil
         ncomp = es.reward_components.shape[-1]
@@ -268,27 +268,29 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
     multichip = cfg.use_multichip
     if multichip is None:
         multichip = jax.default_backend() != "cpu"
-    if multichip and n_dev > 1 and type(agent.env) is not DeepMimicEnv:
-        # ParkourEnv/MGDMEnv replans call the MDM inside the step — that
-        # path is GSPMD-only (SimParams(use_pallas=False)); don't let a
-        # forced use_multichip silently train on one chip.
-        print("WARNING: shard_map multichip supports DeepMimicEnv only; "
-              f"{type(agent.env).__name__} runs single-program (use GSPMD "
-              "sharding with use_pallas=False for multichip parkour)")
-    if (multichip and n_dev > 1 and num_envs % n_dev == 0
-            and type(agent.env) is DeepMimicEnv):
+    mgdm_num = getattr(getattr(agent.env, "pcfg", None), "mgdm_num", 0)
+    divisible = num_envs % n_dev == 0 and mgdm_num % n_dev == 0
+    if multichip and n_dev > 1 and not divisible:
+        print(f"WARNING: num_envs {num_envs} / mgdm_num {mgdm_num} not "
+              f"divisible by {n_dev} devices; training single-program")
+    if multichip and n_dev > 1 and divisible:
         # multichip: shard_map data parallelism over the env batch — keeps
         # the Pallas physics kernel legal (one local batch per chip; GSPMD
         # cannot auto-shard a pallas_call). Gradients/normalizer/advantage
         # moments psum over 'data' inside train_iter; test rollouts reduce
-        # their episode statistics the same way.
+        # their episode statistics the same way.  ParkourEnv/MGDMEnv shard
+        # too: each chip runs a local dm|mgdm slice with its own in-graph
+        # MDM replan (parallel/mesh.py make_sharded_train_iter).
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
         from parc_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh(n_dev, model_parallel=1)
+        state = state.replace(env_state=mesh_lib.shard_major_env_state(
+            agent.env, state.env_state, n_dev))
         train_iter = mesh_lib.make_sharded_train_iter(agent, mesh, lib,
                                                       state)
-        test_core = make_test_fn(agent, cfg.test_steps, cfg.test_episodes,
+        test_core = make_test_fn(mesh_lib.local_agent(agent, n_dev),
+                                 cfg.test_steps, cfg.test_episodes,
                                  axis_name="data", n_shards=n_dev)
         state_spec = mesh_lib.agent_state_pspec(state, num_envs)
         lib_spec = jax.tree.map(lambda _: P(), lib)
@@ -302,7 +304,9 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
             state.env_state,
             mesh_lib.env_state_shardings(mesh, state.env_state, num_envs)))
         print(f"multichip: shard_map DP over {n_dev} devices "
-              f"({num_envs // n_dev} envs/chip)")
+              f"({num_envs // n_dev} envs/chip"
+              + (f", {mgdm_num // n_dev} mgdm/chip" if mgdm_num else "")
+              + ")")
     else:
         train_iter = jax.jit(lambda l, s: agent.train_iter(l, s))
         test_fn = make_test_fn(agent, cfg.test_steps, cfg.test_episodes)

@@ -125,3 +125,124 @@ def test_trainer_multichip_path(setup, tmp_path):
     out = train_tracker.train(agent, lib, cfg, state=state, max_iters=2)
     assert float(out.sample_count) == 2 * 4 * 32
     assert np.all(np.isfinite(np.asarray(jax.tree.leaves(out.params)[0])))
+
+
+# ---------------------------------------------------------------------------
+# ParkourEnv under shard_map (per-shard local MDM replan)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def parkour_setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.envs.mgdm import make_platform_terrain
+    from parc_tpu.envs.parkour import ParkourConfig, ParkourEnv
+    model = humanoid_spec().build()
+    lib = ml.build_motion_lib(model, [standing_clip(), walking_clip(seed=1)])
+    mdm = MDM(model, MDMConfig(diffusion_timesteps=11, d_model=32,
+                               num_heads=2, d_hid=32, num_layers=1))
+    mstate = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=64)
+    terrain = make_platform_terrain(np.random.default_rng(0), dim=32)
+    env = ParkourEnv(model, engine.SimParams(), EnvConfig(num_envs=16),
+                     ParkourConfig(mgdm_num=8, plan_frames=15,
+                                   ddim_stride=5), mdm, terrain)
+    bundle = env.make_lib(lib, mstate)
+    agent = PPOAgent(env, PPOConfig(
+        steps_per_iter=2, update_epochs=1, batch_size=1,
+        actor_net="fc_2layers_512units", critic_net="fc_2layers_512units"))
+    state = agent.init(bundle, jax.random.PRNGKey(0))
+    return model, env, bundle, agent, state
+
+
+def test_parkour_step_parity_shard_vs_single(parkour_setup):
+    """One deterministic ParkourEnv step (replan timer parked, no dones):
+    8-shard shard_map on the shard-major-permuted state must reproduce the
+    single-program step row for row — reward/done/obs parity of the dm AND
+    mgdm fractions under the local-env decomposition."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    model, env, bundle, agent, state = parkour_setup
+    n_dev = 8
+    es = state.env_state.replace(replan_timer=jnp.asarray(1000, jnp.int32))
+    act = agent.a_mid + 0.0 * agent.a_scale  # mid actions, deterministic
+    act = jnp.broadcast_to(act, (16, env.model.dof_size))
+
+    es_single = env.step(bundle, es, act)
+
+    perm = env.shard_row_permutation(n_dev)
+    mesh = mesh_lib.make_mesh(n_dev, model_parallel=1)
+    es_perm = mesh_lib.shard_major_env_state(env, es, n_dev)
+    local_env = env.local_shard(n_dev)
+    spec = mesh_lib.env_state_pspec(es_perm, 16)
+    bundle_spec = jax.tree.map(lambda _: P(), bundle)
+
+    def local_fn(b, s, a):
+        return local_env.step(b, s, a)
+
+    fn = jax.jit(shard_map(local_fn, mesh=mesh,
+                           in_specs=(bundle_spec, spec, P("data")),
+                           out_specs=spec, check_vma=False))
+    es_shard = fn(bundle, es_perm, act)
+
+    assert not np.any(np.asarray(es_single.done)), "parity setup: no dones"
+    np.testing.assert_allclose(np.asarray(es_shard.reward),
+                               np.asarray(es_single.reward)[perm],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(es_shard.done),
+                                  np.asarray(es_single.done)[perm])
+    np.testing.assert_allclose(np.asarray(es_shard.obs),
+                               np.asarray(es_single.obs)[perm], atol=2e-4)
+    # mgdm buffers carry no env-row permutation (contiguous data blocks)
+    np.testing.assert_allclose(np.asarray(es_shard.ref_frames34),
+                               np.asarray(es_single.ref_frames34),
+                               atol=1e-5)
+
+
+def test_parkour_sharded_train_iter(parkour_setup):
+    """Full PPO train_iter on ParkourEnv under shard_map: per-shard local
+    MDM replans fire inside the program, fail rates reconcile, params stay
+    replicated, shapes match the single-device path."""
+    model, env, bundle, agent, state = parkour_setup
+    mesh = mesh_lib.make_mesh(8, model_parallel=1)
+    state = state.replace(
+        env_state=mesh_lib.shard_major_env_state(env, state.env_state, 8))
+    train = mesh_lib.make_sharded_train_iter(agent, mesh, bundle, state)
+    bundle_d = jax.device_put(bundle)
+    s1, m1 = train(bundle_d, state)
+    s2, m2 = train(bundle_d, s1)
+    assert float(s2.sample_count) == 2 * 2 * 16
+    assert np.isfinite(float(m2.mean_reward))
+    assert np.isfinite(float(m2.critic_loss))
+    # per-shard replans regenerated every mgdm window (reset rows may be
+    # synthetic again, but at least one row must hold a generated window)
+    f0 = np.asarray(state.env_state.ref_frames34)
+    f2 = np.asarray(s2.env_state.ref_frames34)
+    assert f2.shape == f0.shape == (8, 15, 34)
+    assert not np.array_equal(f0, f2), "replan must regenerate buffers"
+    assert np.all(np.isfinite(f2))
+    # params replicated across shards -> host fetch is clean and finite
+    leaves = jax.tree.leaves(jax.tree.map(np.asarray, s2.params))
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    # shapes match the single-program train_iter exactly
+    ref_shapes = jax.eval_shape(
+        lambda l, s: agent.train_iter(l, s, axis_name=None), bundle, state)
+    got = jax.tree.map(lambda x: x.shape, (s2, m2))
+    want = jax.tree.map(lambda x: x.shape, ref_shapes)
+    assert got == want
+
+
+def test_parkour_trainer_multichip_path(parkour_setup, tmp_path):
+    """pipeline train() routes ParkourEnv through shard_map (the round-2
+    'DeepMimicEnv only' restriction is gone): 2 iterations + sharded test
+    rollout + desync check on the 8-device mesh."""
+    from parc_tpu.pipeline import train_tracker
+    model, env, bundle, agent, state = parkour_setup
+    cfg = train_tracker.TrainerConfig(
+        output_dir=str(tmp_path), iters_per_output=1,
+        iters_per_checkpoint=1000, test_steps=4, test_episodes=8,
+        iters_per_sync_check=2, use_multichip=True)
+    out = train_tracker.train(agent, bundle, cfg, state=state, max_iters=2)
+    assert float(out.sample_count) == 2 * 2 * 16
+    assert np.all(np.isfinite(np.asarray(jax.tree.leaves(out.params)[0])))
