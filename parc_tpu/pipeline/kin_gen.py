@@ -30,7 +30,13 @@ from parc_tpu.utils import terrain as terrain_lib
 
 @dataclasses.dataclass
 class KinGenConfig:
-    terrain_style: str = "boxes"        # boxes | paths | stairs
+    terrain_style: str = "boxes"        # boxes | paths | stairs | file
+    # FILE mode: terrain .pkl/.npz paths (standalone SubTerrain pkls or
+    # motion files carrying terrains); each generated motion slices a
+    # random window out of one of them (reference:
+    # parc_2_kin_gen.py:236-287 ProcGenMode.FILE) — how real-world
+    # terrain variety enters the loop
+    terrain_files: tuple = ()
     terrain_dim: int = 16
     terrain_dx: float = 0.4
     num_rollouts: int = 32
@@ -47,8 +53,21 @@ class KinGenConfig:
         default_factory=mdm_path.PathGenSettings)
 
 
+def _file_hfs(cfg: KinGenConfig):
+    """Load (and cache on the config object) the FILE-mode heightfields."""
+    hfs = getattr(cfg, "_file_hfs_cache", None)
+    if hfs is None:
+        from parc_tpu.anim import motion_data as md
+        assert cfg.terrain_files, "terrain_style=file needs terrain_files"
+        hfs = [np.asarray(md.load_reference_terrain_pkl(p).hf, np.float32)
+               for p in cfg.terrain_files]
+        object.__setattr__(cfg, "_file_hfs_cache", hfs)
+    return hfs
+
+
 def gen_terrain(cfg: KinGenConfig, rng: np.random.Generator) -> np.ndarray:
-    hf = np.zeros((cfg.terrain_dim * 2, cfg.terrain_dim * 2), np.float32)
+    dim = cfg.terrain_dim * 2
+    hf = np.zeros((dim, dim), np.float32)
     if cfg.terrain_style == "boxes":
         hf = terrain_lib.add_boxes(rng, hf, num_boxes=16,
                                    box_min_height=-1.0, box_max_height=1.5,
@@ -57,6 +76,18 @@ def gen_terrain(cfg: KinGenConfig, rng: np.random.Generator) -> np.ndarray:
         hf = terrain_lib.add_stairs(rng, hf)
     elif cfg.terrain_style == "paths":
         hf = terrain_lib.gen_curvy_paths(rng, hf)
+    elif cfg.terrain_style == "file":
+        # random dim x dim window of a stored terrain (reference slices
+        # its input terrains the same way; smaller inputs are edge-padded)
+        hfs = _file_hfs(cfg)
+        src = hfs[int(rng.integers(len(hfs)))]
+        pad = [max(0, dim - s) for s in src.shape]
+        if any(pad):
+            src = np.pad(src, [(0, pad[0]), (0, pad[1])], mode="edge")
+        i = int(rng.integers(0, src.shape[0] - dim + 1))
+        j = int(rng.integers(0, src.shape[1] - dim + 1))
+        hf = src[i:i + dim, j:j + dim].copy()
+        hf -= hf.min()  # slice heights are relative to the window floor
     else:
         raise ValueError(cfg.terrain_style)
     return hf
@@ -97,8 +128,10 @@ def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
         # generates the first window with the prev-state condition dropped
         # (reference gen_mdm_motion_at_path_start)
         rng, key = jax.random.split(rng)
+        path_cfg = dataclasses.replace(cfg.path_cfg,
+                                       batch_size=cfg.num_rollouts)
         result = mdm_path.generate_frames_along_path(
-            mdm, state, terrain, nodes, None, None, key, cfg.path_cfg)
+            mdm, state, terrain, nodes, None, None, key, path_cfg)
 
         ok = ((result.contact_loss < cfg.max_contact_loss)
               & (result.pen_loss < cfg.max_pen_loss)

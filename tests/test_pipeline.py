@@ -154,6 +154,31 @@ def test_kin_gen_smoke(dataset_yaml, model, tmp_path):
         assert np.all(np.isfinite(clip.frames))
 
 
+def test_kin_gen_file_terrain_mode(tmp_path):
+    """terrain_style=file slices random windows out of stored terrains
+    (reference: parc_2_kin_gen.py:236-287 ProcGenMode.FILE): slices vary
+    with the rng, stay window-sized, and contain source heights."""
+    import pathlib
+    from parc_tpu.pipeline import kin_gen
+
+    pkl = pathlib.Path("/root/reference/data/terrains/TEASER_TERRAIN.pkl")
+    if not pkl.exists():
+        pytest.skip("reference terrain pkl unavailable")
+    cfg = kin_gen.KinGenConfig(terrain_style="file",
+                               terrain_files=(str(pkl),), terrain_dim=8)
+    rng = np.random.default_rng(0)
+    hf1 = kin_gen.gen_terrain(cfg, rng)
+    hf2 = kin_gen.gen_terrain(cfg, rng)
+    assert hf1.shape == hf2.shape == (16, 16)
+    assert not np.array_equal(hf1, hf2), "random windows must differ"
+    assert float(hf1.min()) == 0.0  # re-floored to the window minimum
+    # the slice carries real structure from the file, not a procgen draw
+    assert float(hf1.max()) > 0.0
+    # unknown style still rejects
+    with pytest.raises(ValueError):
+        kin_gen.gen_terrain(kin_gen.KinGenConfig(terrain_style="nope"), rng)
+
+
 def test_kin_gen_job_sharding(model, tmp_path, monkeypatch):
     """Multi-job kin-gen sharding (reference parc_0_setup_iter.py:21-24
     writes num_batches_of_motions job configs): batches get disjoint seed
