@@ -14,7 +14,8 @@ quantified by proxies that a PhysX-equivalent sim must pass:
    parameters far from the PhysX operating point degrade it.
 2. **Sensitivity sweeps**: one-at-a-time perturbations of contact
    stiffness/damping/friction/force-cap and the joint-limit mode
-   (penalty springs vs hard projection, engine.project_joint_limits).
+   (penalty springs vs the hard SPD-implicit boundary spring,
+   engine.compute_joint_torques hard branch).
    Small sensitivity near the default = the default sits on a plateau,
    not a knife edge.
 3. **RL convergence A/Bs** (docs/fidelity.md): trained-tracker reward on
@@ -42,15 +43,33 @@ from parc_tpu.envs.deepmimic import DeepMimicEnv
 from parc_tpu.physics import engine
 
 
-def fidelity_clips():
+REFERENCE_CLIP_PKLS = {
+    # real PARC kinematic clips over real terrains, shipped inside the
+    # reference checkout — the closest reachable absolute anchor to the
+    # "tracker reward within 5% of Isaac Gym" north star (BASELINE.json):
+    # these are the motions the reference itself demos on
+    "ref_civilization": "/root/reference/data/terrains/civilization.pkl",
+    "ref_teaser": "/root/reference/data/terrains/TEASER_TERRAIN.pkl",
+}
+
+
+def fidelity_clips(include_reference: bool = True):
+    import os
+
     from parc_tpu.data.synthetic import (gap_jump_clip, platform_clip,
                                          standing_clip, walking_clip)
-    return {
+    clips = {
         "stand": standing_clip(),
         "walk": walking_clip(seed=1),
         "platform": platform_clip(),
         "gap_jump": gap_jump_clip(),
     }
+    if include_reference:
+        from parc_tpu.anim import motion_data as md
+        for name, path in REFERENCE_CLIP_PKLS.items():
+            if os.path.exists(path):
+                clips[name] = md.load_motion_data(path)
+    return clips
 
 
 @dataclasses.dataclass
@@ -110,15 +129,19 @@ def default_sweeps() -> Dict[str, engine.SimParams]:
     """One-at-a-time perturbations around the default operating point."""
     base = dict(use_pallas=True)
     return {
+        # default now ships hard_joint_limits=True (PhysX-parity mode,
+        # +12.8% tracker test reward in the RL A/B — docs/fidelity.md)
         "default": engine.SimParams(**base),
-        "hard_limits": engine.SimParams(hard_joint_limits=True, **base),
+        "penalty_limits": engine.SimParams(hard_joint_limits=False, **base),
         "stiffness_x0.5": engine.SimParams(contact_stiffness=4000.0, **base),
         "stiffness_x2": engine.SimParams(contact_stiffness=16000.0, **base),
         "damping_x0.5": engine.SimParams(contact_damping=150.0, **base),
         "damping_x2": engine.SimParams(contact_damping=600.0, **base),
         "friction_0.5": engine.SimParams(friction=0.5, **base),
         "friction_1.5": engine.SimParams(friction=1.5, **base),
-        "force_cap_x0.5": engine.SimParams(max_contact_force=1500.0, **base),
+        # x0.5 (1500 N) never binds on this clip set (bit-identical to the
+        # default row) — sweep a cap that actually clips landing impacts
+        "force_cap_x0.1": engine.SimParams(max_contact_force=300.0, **base),
     }
 
 
