@@ -224,9 +224,19 @@ class MDM:
                + body_pos[..., pb, :])              # (B, T, P, 3)
         bx = pts[..., 0] / scfg.hf_dx + scfg.hf_num_x_neg
         by = pts[..., 1] / scfg.hf_dx + scfg.hf_num_y
-        ix = jnp.clip(jnp.round(bx).astype(jnp.int32), 0, scfg.hf_dim_x - 1)
-        iy = jnp.clip(jnp.round(by).astype(jnp.int32), 0, scfg.hf_dim_y - 1)
-        hf_at = batch.hf[jnp.arange(batch.hf.shape[0])[:, None, None], ix, iy]
+        # max height over the 4 surrounding cells: a point laterally
+        # penetrating a box side (or within half a cell of a taller
+        # neighbor) still sees the tall cell — nearest-cell rounding
+        # undershoots there (the reference's box-SDF interior distance
+        # has no such blind spot)
+        ix0 = jnp.clip(jnp.floor(bx).astype(jnp.int32), 0, scfg.hf_dim_x - 1)
+        iy0 = jnp.clip(jnp.floor(by).astype(jnp.int32), 0, scfg.hf_dim_y - 1)
+        ix1 = jnp.minimum(ix0 + 1, scfg.hf_dim_x - 1)
+        iy1 = jnp.minimum(iy0 + 1, scfg.hf_dim_y - 1)
+        bidx = jnp.arange(batch.hf.shape[0])[:, None, None]
+        hf_at = jnp.maximum(
+            jnp.maximum(batch.hf[bidx, ix0, iy0], batch.hf[bidx, ix0, iy1]),
+            jnp.maximum(batch.hf[bidx, ix1, iy0], batch.hf[bidx, ix1, iy1]))
         clearance = pts[..., 2] - self.model.contact_point_radius
         pen = jnp.maximum(hf_at - clearance, 0.0)
         losses["hf_collision"] = cfg.w_hf * m(pen**2)
