@@ -166,3 +166,60 @@ def test_network_diagnostics(setup):
     assert diagnostics.stable_rank(w1) == 1
     # identity has full stable rank (99% mass needs 99% of values)
     assert diagnostics.stable_rank(np.eye(100)) == 99
+
+
+def test_reset_pool_distribution_under_heavy_reuse():
+    """ResetPool semantic drift bound (envs/deepmimic.py:49-54): with
+    1-second clips every env resets far more than k=4 times per rollout,
+    so pool entries are reused.  Entries are i.i.d. draws from the
+    fail-rate-weighted reset distribution, so the AGGREGATE motion-id
+    frequency over all reset events must still match
+    w = lib.weights * (min_motion_weight + fail_rates) (reference
+    curriculum: envs/ig_parkour/dm_env.py:517-568) — reuse may reduce
+    per-env diversity but must not skew the start-state distribution."""
+    model = humanoid_spec().build()
+    n_envs, T, k = 256, 64, 4
+    # 4 very short standing clips (0.27 s = 8 frames): TIME done at clip
+    # end; rand_reset start times make the mean episode ~4 control steps,
+    # so every env resets ~2-4x the pool depth k within one rollout
+    clips = [_standing_clip(n=8) for _ in range(4)]
+    lib = ml.build_motion_lib(model, clips)
+    env = DeepMimicEnv(model, engine.SimParams(),
+                       EnvConfig(num_envs=n_envs))
+    agent = PPOAgent(env, PPOConfig(
+        steps_per_iter=T, reset_pool_k=k,
+        actor_net="fc_2layers_512units", critic_net="fc_2layers_512units"))
+    state = agent.init(lib, jax.random.PRNGKey(0))
+    fail_rates = jnp.asarray([0.9, 0.4, 0.1, 0.02])
+    state = state.replace(env_state=state.env_state.replace(
+        fail_rates=fail_rates))
+
+    _, _, batch = jax.jit(
+        lambda s: agent.rollout(lib, s, exp_prob=jnp.asarray(1.0)))(state)
+    done = np.asarray(batch["done"])              # [T, B]
+    assert done.shape == (T, n_envs)
+    resets_per_env = (done != DoneFlags.NULL).sum(axis=0)
+    assert resets_per_env.min() >= 2 * k, (
+        f"test needs heavy reuse, got min {resets_per_env.min()} resets")
+
+    # re-simulate the id stream: pool draws are what the rollout consumed;
+    # rebuild the pool with the same rng path to read motion ids per event
+    pool_rng = jax.random.split(state.rng)[1]
+    pool = env.build_reset_pool(lib, pool_rng, fail_rates, n_envs, k=k)
+    pool_ids = np.asarray(pool.motion_ids).reshape(k, n_envs)
+    counts = np.zeros(lib.num_motions)
+    slot = np.zeros(n_envs, np.int64)
+    for t in range(T):
+        d = done[t] != DoneFlags.NULL
+        ids_t = pool_ids[slot[d] % k, np.where(d)[0]]
+        np.add.at(counts, ids_t, 1)
+        slot[d] += 1
+
+    freq = counts / counts.sum()
+    w = np.asarray(lib.weights) * (env.cfg.min_motion_weight
+                                   + np.asarray(fail_rates))
+    want = w / w.sum()
+    # pool has k*n = 1024 i.i.d. draws; reuse correlates events, so allow
+    # ~4 sigma of the pool-level multinomial noise
+    tol = 4.0 * np.sqrt(want * (1 - want) / (k * n_envs)) + 0.01
+    assert np.all(np.abs(freq - want) < tol), (freq, want, tol)

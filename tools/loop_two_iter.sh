@@ -1,0 +1,145 @@
+#!/bin/bash
+# Two full PARC self-improvement iterations at scale — the committed
+# evidence for the paper's core claim (reference README.md:34-60,
+# parc_0_setup_iter.py 4-iteration schedule):
+#
+#   iter k: MDM_k (trained on dataset_k) -> kin_gen_k (mixed terrain
+#   styles: boxes/stairs/paths/file) -> tracker_k @4096 envs on
+#   dataset_k + kin_gen_k -> record_k -> dataset_{k+1} = seed +
+#   physically-corrected recordings of every iteration so far.
+#
+# MDM_1 is the pre-trained seed-clip model (/tmp/mdm_scale or
+# $MDM1_DIR); MDM_2 retrains from scratch on the grown, heterogeneous
+# dataset_2 (>= dozens of clips across terrain styles + mirrors) — the
+# dataset-diversity evidence for docs/mdm_scale.md.
+#
+# Stage logs land under $OUT/logs; summarize with
+#   python tools/loop_summary.py --two_iter $OUT > docs/loop_scale.md
+# and commit the doc + $OUT/logs copies (VERDICT r2: evidence lives
+# in-repo, not /tmp).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
+OUT=${OUT:-/tmp/loop_r3}
+ITERS=${ITERS:-1500}
+MDM1_DIR=${MDM1_DIR:-/tmp/mdm_scale}
+MDM_EPOCHS=${MDM_EPOCHS:-120}
+# kin-gen terrain mix per iteration: style:count pairs
+KG_MIX=${KG_MIX:-"boxes:5 stairs:3 paths:3 file:3"}
+FILE_TERRAIN=${FILE_TERRAIN:-/root/reference/data/terrains/TEASER_TERRAIN.pkl}
+mkdir -p "$OUT/logs" "$OUT/seed_motions/base"
+
+log() { echo "[loop2iter $(date +%H:%M:%S)] $*"; }
+
+# ---------------------------------------------------------------- seed
+python - <<'EOF'
+import os
+from parc_tpu.anim.motion_data import save_motion_data
+from parc_tpu.data.synthetic import (gap_jump_clip, platform_clip,
+                                     standing_clip, walking_clip)
+d = os.environ["OUT"] + "/seed_motions/base"
+save_motion_data(f"{d}/stand.npz", standing_clip())
+save_motion_data(f"{d}/platform.npz", platform_clip())
+save_motion_data(f"{d}/gap.npz", gap_jump_clip())
+for s in range(6):
+    save_motion_data(f"{d}/walk{s}.npz",
+                     walking_clip(seed=s, speed=1.0 + 0.2 * s))
+print("seed clips written")
+EOF
+export OUT
+python -m parc_tpu.pipeline.cli create_dataset \
+    --motions_dir "$OUT/seed_motions" --out "$OUT/dataset_1.yaml" \
+    2>&1 | tee "$OUT/logs/create_dataset_1.log"
+
+kin_gen_mix() {  # $1 = iter index, $2 = mdm_dir
+    local it=$1 mdm=$2 style count seed_base
+    mkdir -p "$OUT/kin_gen_$it"
+    seed_base=$((it * 1000))
+    for pair in $KG_MIX; do
+        style=${pair%%:*}; count=${pair##*:}
+        if [ "$(ls "$OUT/kin_gen_$it" | grep -c "^${style}_" || true)" -ge "$count" ]; then
+            log "kin_gen_$it/$style: reusing existing clips"; continue
+        fi
+        log "kin_gen_$it: style=$style count=$count"
+        local extra=()
+        if [ "$style" = file ]; then
+            cat > "$OUT/kg_file.yaml" <<YAML
+terrain_style: file
+terrain_files: ["$FILE_TERRAIN"]
+YAML
+            extra=(--config "$OUT/kg_file.yaml")
+        else
+            cat > "$OUT/kg_$style.yaml" <<YAML
+terrain_style: $style
+YAML
+            extra=(--config "$OUT/kg_$style.yaml")
+        fi
+        python -m parc_tpu.pipeline.cli kin_gen \
+            --dataset "$OUT/dataset_$it.yaml" --mdm_dir "$mdm" \
+            --out_dir "$OUT/kin_gen_$it" --num_motions "$count" \
+            --seed $((seed_base)) "${extra[@]}" \
+            2>&1 | tee -a "$OUT/logs/kin_gen_$it.log"
+        seed_base=$((seed_base + 100))
+    done
+}
+
+run_iter() {  # $1 = iter index, $2 = mdm_dir
+    local it=$1 mdm=$2 next=$(( $1 + 1 ))
+
+    # kin_gen: mixed terrain styles, prefixed per style
+    kin_gen_mix "$it" "$mdm"
+
+    # tracker dataset = dataset_it + generated kinematic clips
+    mkdir -p "$OUT/motions_track_$it"
+    for d in "$OUT/motions_iter_$it"/*/ "$OUT/seed_motions"/*/; do
+        [ -d "$d" ] && ln -sfn "${d%/}" \
+            "$OUT/motions_track_$it/$(basename "${d%/}")" || true
+    done
+    ln -sfn "$OUT/kin_gen_$it" "$OUT/motions_track_$it/generated"
+    python -m parc_tpu.pipeline.cli create_dataset \
+        --motions_dir "$OUT/motions_track_$it" \
+        --out "$OUT/track_$it.yaml" \
+        2>&1 | tee "$OUT/logs/create_dataset_track_$it.log"
+
+    # tracker at scale
+    if [ ! -f "$OUT/tracker_$it/log.tsv" ] || \
+       [ "$(wc -l < "$OUT/tracker_$it/log.tsv")" -lt 10 ]; then
+        python -m parc_tpu.pipeline.cli train_tracker \
+            --dataset "$OUT/track_$it.yaml" --out_dir "$OUT/tracker_$it" \
+            --num_envs 4096 --max_iters "$ITERS" \
+            2>&1 | tee "$OUT/logs/tracker_$it.log"
+    else
+        log "tracker_$it: resuming/reusing existing run"
+    fi
+
+    # record physically-corrected motions from the best checkpoint
+    python -m parc_tpu.pipeline.cli record --dataset "$OUT/track_$it.yaml" \
+        --tracker_dir "$OUT/tracker_$it" --out_dir "$OUT/recorded_$it" \
+        --checkpoint best \
+        2>&1 | tee "$OUT/logs/record_$it.log"
+
+    # next-iteration dataset = seed + all recordings so far
+    mkdir -p "$OUT/motions_iter_$next"
+    ln -sfn "$OUT/seed_motions/base" "$OUT/motions_iter_$next/base"
+    for k in $(seq 1 "$it"); do
+        ln -sfn "$OUT/recorded_$k" "$OUT/motions_iter_$next/recorded_$k"
+    done
+    python -m parc_tpu.pipeline.cli create_dataset \
+        --motions_dir "$OUT/motions_iter_$next" \
+        --out "$OUT/dataset_$next.yaml" \
+        2>&1 | tee "$OUT/logs/create_dataset_$next.log"
+}
+
+log "=== ITERATION 1 (MDM: $MDM1_DIR) ==="
+run_iter 1 "$MDM1_DIR"
+
+log "=== ITERATION 2: retrain MDM on the grown dataset ==="
+if [ ! -d "$OUT/mdm_2/checkpoints" ]; then
+    python -m parc_tpu.pipeline.cli train_mdm \
+        --dataset "$OUT/dataset_2.yaml" --out_dir "$OUT/mdm_2" \
+        --max_epochs "$MDM_EPOCHS" \
+        2>&1 | tee "$OUT/logs/train_mdm_2.log"
+fi
+run_iter 2 "$OUT/mdm_2"
+
+log "LOOP COMPLETE: $OUT/dataset_3.yaml"
