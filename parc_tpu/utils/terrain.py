@@ -487,7 +487,9 @@ def add_boxes(rng: np.random.Generator, hf: np.ndarray, num_boxes: int = 32,
     heightfield (reference: util/terrain_util.py:864-917 add_boxes_to_hf2 —
     boxes are rotated by a uniform angle about their center; pass
     ``max_angle=0`` for axis-aligned stamps).  ``hf_maxmin`` clamps the
-    result into per-cell motion-protected bounds."""
+    result into per-cell motion-protected bounds.  The result is always
+    float32 (heightfields are device-bound f32 everywhere downstream),
+    regardless of the input dtype."""
     h, w = hf.shape
     hf = hf.copy()
     gx, gy = np.meshgrid(np.arange(h, dtype=np.float32),
