@@ -87,19 +87,78 @@ def test_torque_cols_matches_engine():
             for j in range(model.num_bodies - 1)]
     dv_c = [state.dof_vel[:, d] for d in range(model.dof_size)]
     act_c = [act[:, d] for d in range(model.dof_size)]
+    def stack(cols):
+        return np.stack([np.broadcast_to(np.asarray(c), (n,))
+                         for c in cols], axis=-1)
+
     for mode in ("pd_implicit", "pd_exp", "pd_1d", "vel", "torque"):
         params = engine.SimParams(control_mode=mode)
         tau_ref, dex_ref = engine.compute_joint_torques(model, params,
                                                         state, act, h)
         tau_c, dex_c = ps._torque_cols(model, params, jr_c, dv_c, act_c,
                                        qt_c, h)
-        def stack(cols):
-            return np.stack([np.broadcast_to(np.asarray(c), (n,))
-                             for c in cols], axis=-1)
         np.testing.assert_allclose(stack(tau_c), np.asarray(tau_ref),
                                    atol=3e-4, err_msg=mode)
         np.testing.assert_allclose(stack(dex_c), np.asarray(dex_ref),
                                    atol=1e-6, err_msg=mode)
+
+
+def test_torque_cols_limit_branches_match_engine():
+    """The column port's joint-limit torque matches the engine at states
+    that actually VIOLATE the limits, for both the hard SPD-implicit
+    boundary spring (the default) and the soft penalty springs — the
+    nominal-state parity above exercises neither (limit torques vanish
+    in the interior)."""
+    from parc_tpu.anim import char_model as cm
+    from parc_tpu.physics import engine
+
+    model = humanoid_spec().build()
+    n = 6
+    rng = np.random.default_rng(5)
+    lo = np.asarray(model.dof_limits_lower)
+    hi = np.asarray(model.dof_limits_upper)
+    # half the rows past the upper limits, half past the lower
+    dof = np.where(np.arange(n)[:, None] % 2 == 0,
+                   hi + rng.uniform(0.05, 0.3, (n, model.dof_size)),
+                   lo - rng.uniform(0.05, 0.3, (n, model.dof_size)))
+    dof = dof.astype(np.float32)
+    q = cm.dof_to_rot(model, jnp.asarray(dof))
+    state = engine.create_state(
+        model, jnp.zeros((n, 3)),
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1)), q,
+        dof_vel=jnp.asarray(rng.normal(0, 2.0, (n, model.dof_size)),
+                            jnp.float32))
+    act = jnp.zeros((n, model.dof_size))
+    qtar = cm.dof_to_rot(model, act)
+    h = 1.0 / 120.0
+    jr_c = [[state.joint_rot[:, j, i] for i in range(4)]
+            for j in range(model.num_bodies - 1)]
+    qt_c = [[qtar[:, j, i] for i in range(4)]
+            for j in range(model.num_bodies - 1)]
+    dv_c = [state.dof_vel[:, d] for d in range(model.dof_size)]
+    act_c = [act[:, d] for d in range(model.dof_size)]
+
+    def stack(cols):
+        return np.stack([np.broadcast_to(np.asarray(c), (n,))
+                         for c in cols], axis=-1)
+
+    for hard in (True, False):
+        params = engine.SimParams(hard_joint_limits=hard)
+        tau_ref, dex_ref = engine.compute_joint_torques(model, params,
+                                                        state, act, h)
+        tau_c, dex_c = ps._torque_cols(model, params, jr_c, dv_c, act_c,
+                                       qt_c, h)
+        # dof violations of ~0.3 rad at K=5000 give |tau| up to ~1.5e3;
+        # the column port round-trips through per-column exp maps, so
+        # allow f32-scale relative error
+        np.testing.assert_allclose(stack(tau_c), np.asarray(tau_ref),
+                                   rtol=2e-4, atol=5e-3,
+                                   err_msg=f"hard={hard}")
+        np.testing.assert_allclose(stack(dex_c), np.asarray(dex_ref),
+                                   rtol=2e-4, atol=1e-5,
+                                   err_msg=f"hard={hard}")
+        # the limit torque must actually be active somewhere
+        assert float(np.abs(stack(tau_c)).max()) > 10.0
 
 
 @pytest.mark.skipif(jax.default_backend() == "cpu",
