@@ -5,12 +5,16 @@ import os
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU)
 # and the axon sitecustomize imports jax at interpreter startup, so the env
 # var alone is not enough — override via jax.config as well (below).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PARC_TEST_TPU=1 skips the forcing so TPU-gated tests (e.g.
+# test_pallas.py::test_tpu_full_parity) can run on real hardware.
+_ON_TPU = os.environ.get("PARC_TEST_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # persistent compilation cache: rerunning the suite skips recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -19,7 +23,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
