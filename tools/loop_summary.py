@@ -14,9 +14,12 @@ import argparse
 import csv
 import glob
 import os
+import sys
 
 import numpy as np
 import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def read_tracker(out_dir, it):
