@@ -96,15 +96,43 @@ def uncanonicalize(frames34: jax.Array, canon_xy, canon_z, canon_heading):
 
 
 def sample_local_hf(mdm: MDM, terrain: terrain_lib.Terrain, canon_xy,
-                    canon_z, canon_heading) -> jax.Array:
-    """Canonical 31x31 local heightfield from a world terrain."""
+                    canon_z, canon_heading,
+                    terrain_idx: Optional[jax.Array] = None) -> jax.Array:
+    """Canonical 31x31 local heightfield from a world terrain.
+
+    ``terrain`` is either one world terrain shared by every batch row
+    (``hf (H, W)``) or a STACK of terrains (``hf (R, H, W)``,
+    ``min_point (R, 2)`` or shared ``(2,)``) with ``terrain_idx (B,)``
+    mapping each row to its terrain — the batched kin-gen path
+    (procgen/mdm_path.generate_frames_multi) conditions R terrains'
+    rollouts in one device program.  Both paths gather through the
+    one-hot MXU contraction (utils/gather — native gathers serialize on
+    TPU; one-hot rows are exact)."""
+    from parc_tpu.utils import gather as gather_lib
+
     scfg = mdm.scfg
     pts = sampler_lib._local_hf_points(scfg, canon_xy, canon_heading)
-    inds = jnp.round((pts - terrain.min_point) / terrain.dxdy).astype(
-        jnp.int32)
-    dims = jnp.asarray(terrain.hf.shape)
-    inds = jnp.clip(inds, 0, dims - 1)
-    hf = jnp.asarray(terrain.hf)[inds[..., 0], inds[..., 1]]
+    hf_t = jnp.asarray(terrain.hf)
+    lead = pts.shape[:-1]                                  # (B, X, Y)
+    if hf_t.ndim == 3:
+        assert terrain_idx is not None, "stacked terrain needs terrain_idx"
+        mp = jnp.asarray(terrain.min_point)
+        if mp.ndim == 2:
+            mp = mp[terrain_idx][..., None, None, :]
+        inds = jnp.round((pts - mp) / terrain.dxdy).astype(jnp.int32)
+        dims = jnp.asarray(hf_t.shape[-2:])
+        inds = jnp.clip(inds, 0, dims - 1)
+        flat = inds.reshape((inds.shape[0], -1, 2))        # (B, P, 2)
+        hf = gather_lib.batched_hf_gather(
+            hf_t, terrain_idx, flat[..., 0], flat[..., 1]).reshape(lead)
+    else:
+        inds = jnp.round((pts - terrain.min_point) / terrain.dxdy).astype(
+            jnp.int32)
+        dims = jnp.asarray(hf_t.shape)
+        inds = jnp.clip(inds, 0, dims - 1)
+        flat = inds.reshape((-1, inds.shape[-3] * inds.shape[-2], 2))
+        hf = gather_lib.hf_gather_single(
+            hf_t, flat[..., 0], flat[..., 1]).reshape(lead)
     return jnp.clip(hf - canon_z[..., None, None], -scfg.max_h, scfg.max_h)
 
 
@@ -112,14 +140,17 @@ def gen_mdm_motion(mdm: MDM, state: MDMState, rng: jax.Array,
                    prev_frames34: jax.Array, prev_contacts: jax.Array,
                    terrain: terrain_lib.Terrain, target_xy: jax.Array,
                    settings: GenSettings = GenSettings(),
-                   prev_state_mask=None):
+                   prev_state_mask=None,
+                   terrain_idx: Optional[jax.Array] = None):
     """Generate the next 15-frame window in world coordinates.
 
     Args:
       prev_frames34: (B, num_prev, 34) world-frame conditioning frames
         (last one is the canonical frame).
       prev_contacts: (B, num_prev, num_bodies).
-      terrain: world terrain to condition on.
+      terrain: world terrain to condition on — one shared terrain, or a
+        stacked ``hf (R, H, W)`` terrain with ``terrain_idx (B,)``
+        mapping rows to terrains (see :func:`sample_local_hf`).
       target_xy: (B, 2) world-frame target position.
       prev_state_mask: optional per-env (B,) {0,1} mask overriding
         settings.use_prev_state — the reference's per-env use_prev_state
@@ -142,7 +173,8 @@ def gen_mdm_motion(mdm: MDM, state: MDMState, rng: jax.Array,
                               canon_heading)
     prev_feats = features_from_frames34(mdm, prev_canon, prev_contacts)
 
-    hf = sample_local_hf(mdm, terrain, canon_xy, canon_z, canon_heading)
+    hf = sample_local_hf(mdm, terrain, canon_xy, canon_z, canon_heading,
+                         terrain_idx=terrain_idx)
 
     delta = rot.rotate_2d_vec(target_xy - canon_xy, -canon_heading)
     norm = jnp.linalg.norm(delta, axis=-1, keepdims=True)

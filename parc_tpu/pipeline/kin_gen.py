@@ -40,6 +40,12 @@ class KinGenConfig:
     terrain_dim: int = 16
     terrain_dx: float = 0.4
     num_rollouts: int = 32
+    # generate this many terrains' rollouts in ONE batched device program
+    # (procgen/mdm_path.generate_frames_multi): R terrains x num_rollouts
+    # rows share every denoise step, so the MXU sees R-fold bigger
+    # matmuls and the per-window host round-trips amortize.  1 = the
+    # sequential per-terrain chain (reference semantics either way).
+    terrains_per_batch: int = 1
     top_k: int = 2
     max_contact_loss: float = 3.0
     max_pen_loss: float = 8.0
@@ -93,59 +99,51 @@ def gen_terrain(cfg: KinGenConfig, rng: np.random.Generator) -> np.ndarray:
     return hf
 
 
-def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
-                           seed: int) -> List[md.MotionData]:
-    """Generate one terrain and up to top_k motions crossing it."""
+def _draw_terrain_and_path(cfg: KinGenConfig, rng_np: np.random.Generator):
+    """One terrain + A* path attempt -> (terrain, hf, nodes) or None."""
+    hf = gen_terrain(cfg, rng_np)
+    dxdy = np.asarray([cfg.terrain_dx, cfg.terrain_dx], np.float32)
+    terrain = terrain_lib.Terrain(
+        hf=jnp.asarray(hf),
+        hf_mask=jnp.zeros(hf.shape, bool),
+        hf_maxmin=jnp.stack([jnp.asarray(hf) + 3.0,
+                             jnp.asarray(hf) - 3.0], -1),
+        min_point=jnp.zeros(2), dxdy=jnp.asarray(dxdy))
+    # simplify for planning
+    plan_hf = np.asarray(terrain_lib.flat_maxpool_2x2(terrain).hf)
+
+    start, goal = astar.pick_start_end_on_edges(plan_hf, rng_np)
+    # stable footing around the endpoints (reference:
+    # parc_2_kin_gen.py:304-310)
+    plan_hf = terrain_lib.flatten_4x4_near_edge(
+        plan_hf, start, float(plan_hf[start[0], start[1]]))
+    plan_hf = terrain_lib.flatten_4x4_near_edge(
+        plan_hf, goal, float(plan_hf[goal[0], goal[1]]))
+    path = astar.run_a_star(plan_hf, dxdy, start, goal, rng=rng_np)
+    if path is None:
+        return None
+    nodes = astar.path_to_world(path, np.zeros(2), dxdy, hf)
+    return terrain, hf, nodes
+
+
+def _clips_from_result(mdm: MDM, cfg: KinGenConfig, hf: np.ndarray,
+                       terrain: terrain_lib.Terrain,
+                       result) -> List[md.MotionData]:
+    """Threshold/rank rollouts, contact-optimize and mirror the keepers."""
     model = mdm.model
-    rng_np = np.random.default_rng(seed)
-    rng = jax.random.PRNGKey(seed)
+    dxdy = np.asarray([cfg.terrain_dx, cfg.terrain_dx], np.float32)
+    ok = ((result.contact_loss < cfg.max_contact_loss)
+          & (result.pen_loss < cfg.max_pen_loss)
+          & (result.total_loss < cfg.max_total_loss))
+    order = np.argsort(result.total_loss)
+    keep = [i for i in order if ok[i]][:cfg.top_k]
+    if not keep:
+        return []
 
-    for attempt in range(cfg.max_retries):
-        hf = gen_terrain(cfg, rng_np)
-        dxdy = np.asarray([cfg.terrain_dx, cfg.terrain_dx], np.float32)
-        terrain = terrain_lib.Terrain(
-            hf=jnp.asarray(hf),
-            hf_mask=jnp.zeros(hf.shape, bool),
-            hf_maxmin=jnp.stack([jnp.asarray(hf) + 3.0,
-                                 jnp.asarray(hf) - 3.0], -1),
-            min_point=jnp.zeros(2), dxdy=jnp.asarray(dxdy))
-        # simplify for planning
-        plan_hf = np.asarray(terrain_lib.flat_maxpool_2x2(terrain).hf)
-
-        start, goal = astar.pick_start_end_on_edges(plan_hf, rng_np)
-        # stable footing around the endpoints (reference:
-        # parc_2_kin_gen.py:304-310)
-        plan_hf = terrain_lib.flatten_4x4_near_edge(
-            plan_hf, start, float(plan_hf[start[0], start[1]]))
-        plan_hf = terrain_lib.flatten_4x4_near_edge(
-            plan_hf, goal, float(plan_hf[goal[0], goal[1]]))
-        path = astar.run_a_star(plan_hf, dxdy, start, goal, rng=rng_np)
-        if path is None:
-            continue
-        nodes = astar.path_to_world(path, np.zeros(2), dxdy, hf)
-
-        # cold start: mdm_path builds the standing anchor itself and
-        # generates the first window with the prev-state condition dropped
-        # (reference gen_mdm_motion_at_path_start)
-        rng, key = jax.random.split(rng)
-        path_cfg = dataclasses.replace(cfg.path_cfg,
-                                       batch_size=cfg.num_rollouts)
-        result = mdm_path.generate_frames_along_path(
-            mdm, state, terrain, nodes, None, None, key, path_cfg)
-
-        ok = ((result.contact_loss < cfg.max_contact_loss)
-              & (result.pen_loss < cfg.max_pen_loss)
-              & (result.total_loss < cfg.max_total_loss))
-        order = np.argsort(result.total_loss)
-        keep = [i for i in order if ok[i]][:cfg.top_k]
-        if not keep:
-            continue
-
-        host_terrain = md.HostTerrain(hf=hf, min_point=np.zeros(2,
-                                                                np.float32),
-                                      dxdy=dxdy)
-        clips = []
-        for i in keep:
+    host_terrain = md.HostTerrain(hf=hf, min_point=np.zeros(2, np.float32),
+                                  dxdy=dxdy)
+    clips = []
+    for i in keep:
             t = int(result.lengths[i])
             frames = jnp.asarray(result.frames34[i, :t])
             contacts = jnp.asarray(result.contacts[i, :t])
@@ -180,7 +178,33 @@ def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
                     else np.asarray(cm_).astype(np.float32),
                     terrain=motion_edit.flip_terrain_about_xz(clip_terrain),
                     losses=clip_losses))
-        return clips
+    return clips
+
+
+def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
+                           seed: int) -> List[md.MotionData]:
+    """Generate one terrain and up to top_k motions crossing it."""
+    rng_np = np.random.default_rng(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    for attempt in range(cfg.max_retries):
+        drawn = _draw_terrain_and_path(cfg, rng_np)
+        if drawn is None:
+            continue
+        terrain, hf, nodes = drawn
+
+        # cold start: mdm_path builds the standing anchor itself and
+        # generates the first window with the prev-state condition dropped
+        # (reference gen_mdm_motion_at_path_start)
+        rng, key = jax.random.split(rng)
+        path_cfg = dataclasses.replace(cfg.path_cfg,
+                                       batch_size=cfg.num_rollouts)
+        result = mdm_path.generate_frames_along_path(
+            mdm, state, terrain, nodes, None, None, key, path_cfg)
+
+        clips = _clips_from_result(mdm, cfg, hf, terrain, result)
+        if clips:
+            return clips
     return []
 
 
@@ -199,16 +223,67 @@ def run_kin_gen(mdm: MDM, state: MDMState, num_motions: int, out_dir: str,
 
     ``name_prefix`` namespaces output files so several independent jobs
     (the reference shards kin-gen into num_batches_of_motions machine-level
-    jobs, parc_0_setup_iter.py:21-24) can write into one directory."""
+    jobs, parc_0_setup_iter.py:21-24) can write into one directory.
+
+    With ``cfg.terrains_per_batch > 1`` the generation chains of several
+    motions run in one batched device program (generate_frames_multi);
+    per-motion thresholds/ranking/opt are unchanged."""
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     idx = 0
-    for i in range(num_motions):
-        clips = gen_motion_and_terrain(mdm, state, cfg, seed + i)
+
+    def save(clips):
+        nonlocal idx
         for clip in clips:
             path = os.path.join(
                 out_dir, f"{name_prefix}{cfg.terrain_style}_{idx:05d}.npz")
             md.save_motion_data(path, clip)
             paths.append(path)
             idx += 1
+
+    if cfg.terrains_per_batch <= 1:
+        for i in range(num_motions):
+            save(gen_motion_and_terrain(mdm, state, cfg, seed + i))
+        return paths
+
+    # batched mode: each pending motion slot keeps its own host rng
+    # stream (same derivation as the sequential mode: seed + i) and
+    # retry budget; every round draws terrains+paths for the pending
+    # slots and runs ONE generate_frames_multi over all of them
+    path_cfg = dataclasses.replace(cfg.path_cfg,
+                                   batch_size=cfg.num_rollouts)
+    slot_rng = {i: np.random.default_rng(seed + i)
+                for i in range(num_motions)}
+    attempts = {i: 0 for i in range(num_motions)}
+    pending = list(range(num_motions))
+    rng = jax.random.PRNGKey(seed)
+    while pending:
+        batch, terrains, nodes_l, hfs = [], [], [], []
+        for i in list(pending):
+            drawn = None
+            while drawn is None and attempts[i] < cfg.max_retries:
+                attempts[i] += 1
+                drawn = _draw_terrain_and_path(cfg, slot_rng[i])
+            if drawn is None:           # A* never connected: give up
+                pending.remove(i)
+                continue
+            terrain, hf, nodes = drawn
+            batch.append(i)
+            terrains.append(terrain)
+            nodes_l.append(nodes)
+            hfs.append(hf)
+            if len(batch) >= cfg.terrains_per_batch:
+                break
+        if not batch:
+            break
+        rng, key = jax.random.split(rng)
+        results = mdm_path.generate_frames_multi(
+            mdm, state, terrains, nodes_l, key, path_cfg)
+        for i, terrain, hf, result in zip(batch, terrains, hfs, results):
+            clips = _clips_from_result(mdm, cfg, hf, terrain, result)
+            if clips:
+                save(clips)
+                pending.remove(i)
+            elif attempts[i] >= cfg.max_retries:
+                pending.remove(i)
     return paths

@@ -200,6 +200,163 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
         total_loss=np.asarray(c_loss + p_loss))
 
 
+def _stack_terrains(terrains: List[terrain_lib.Terrain]
+                    ) -> terrain_lib.Terrain:
+    """Stack R terrains into one hf (R, H, W) Terrain (edge-padded to the
+    largest grid; per-terrain min_point).  dxdy must match."""
+    dx0 = np.asarray(terrains[0].dxdy)
+    hfs, mps = [], []
+    h = max(int(t.hf.shape[0]) for t in terrains)
+    w = max(int(t.hf.shape[1]) for t in terrains)
+    for t in terrains:
+        assert np.allclose(np.asarray(t.dxdy), dx0), "dxdy must match"
+        hf = np.asarray(t.hf, np.float32)
+        hf = np.pad(hf, [(0, h - hf.shape[0]), (0, w - hf.shape[1])],
+                    mode="edge")
+        hfs.append(hf)
+        mps.append(np.asarray(t.min_point, np.float32))
+    hf = jnp.asarray(np.stack(hfs))
+    return terrain_lib.Terrain(
+        hf=hf, hf_mask=jnp.zeros(hf.shape, bool),
+        hf_maxmin=jnp.stack([hf + 3.0, hf - 3.0], -1),
+        min_point=jnp.asarray(np.stack(mps)), dxdy=jnp.asarray(dx0))
+
+
+def generate_frames_multi(mdm: MDM, state: MDMState,
+                          terrains: List[terrain_lib.Terrain],
+                          paths: List[np.ndarray],
+                          rng: jax.Array,
+                          cfg: PathGenSettings = PathGenSettings()
+                          ) -> List[PathGenResult]:
+    """Cold-start rollouts along R paths over R terrains in ONE batched
+    device program (batch R * cfg.batch_size).
+
+    The TPU-first answer to kin-gen at reference scale (2000 motions per
+    iteration, PARC/kin_gen_default.yaml): instead of one generation
+    chain per terrain (small batches underutilize the MXU and every
+    window pays the host/remote round-trip), the rollouts of R terrains
+    run in one autoregressive chain — each row conditions on ITS
+    terrain's local heightfield (gen.sample_local_hf terrain_idx) and
+    targets ITS path's nodes; only the per-row done bookkeeping touches
+    the host.  Returns one PathGenResult per terrain, each shaped
+    exactly like :func:`generate_frames_along_path`'s (so callers rank /
+    threshold identically).
+    """
+    assert len(terrains) == len(paths) and terrains
+    model = mdm.model
+    r, b = len(terrains), cfg.batch_size
+    bt = r * b
+    np_prev = mdm.scfg.num_prev_states
+    seq = mdm.scfg.seq_len
+    max_frames = int(cfg.max_seconds * cfg.fps)
+    names = list(model.body_names)
+    foot_ids = jnp.asarray([names.index("right_foot"),
+                            names.index("left_foot")], jnp.int32)
+
+    stacked = jax.device_put(_stack_terrains(terrains))
+    terrain_idx = jnp.repeat(jnp.arange(r), b)             # (B,)
+    row_terrain = np.repeat(np.arange(r), b)               # host copy
+
+    # per-row node tables padded to a common length with the final node
+    # (progress toward a repeated final node is monotone/no-op)
+    n_max = max(len(p) for p in paths)
+    nodes_np = np.stack([
+        np.concatenate([p, np.repeat(p[-1:], n_max - len(p), axis=0)])
+        for p in paths]).astype(np.float32)
+    row_nodes = nodes_np[row_terrain]                      # (B, N, 3)
+    n_valid = np.asarray([len(p) for p in paths])[row_terrain]
+
+    # cold-start anchors per terrain (reference
+    # gen_mdm_motion_at_path_start; same construction as the single-path
+    # cold start above)
+    rng, k_z = jax.random.split(rng)
+    root_z = 0.7 + 0.2 * np.asarray(jax.random.uniform(k_z, (r,)))
+    start = np.zeros((r, np_prev, 34), np.float32)
+    for i, p in enumerate(paths):
+        nxt = p[min(1, len(p) - 1)]
+        d0 = nxt[0:2] - p[0, 0:2]
+        heading = float(np.arctan2(d0[1], d0[0])) \
+            if np.linalg.norm(d0) > 1e-6 else 0.0
+        start[i, :, 0:2] = p[0, 0:2]
+        start[i, :, 2] = p[0, 2] + root_z[i]
+        start[i, :, 5] = heading
+    frames = jnp.asarray(np.repeat(start, b, axis=0))      # (B, prev, 34)
+    contacts = jnp.zeros((bt, np_prev, model.num_bodies))
+
+    gen_step = jax.jit(
+        lambda st, terr, key, prev_f, prev_c, tgt, tidx:
+        gen_lib.gen_mdm_motion(mdm, st, key, prev_f, prev_c, terr, tgt,
+                               settings=cfg.settings, terrain_idx=tidx))
+    start_settings = dataclasses.replace(
+        cfg.settings, use_prev_state=False, guidance_scale=1.0)
+    gen_start = jax.jit(
+        lambda st, terr, key, prev_f, prev_c, tgt, tidx:
+        gen_lib.gen_mdm_motion(mdm, st, key, prev_f, prev_c, terr, tgt,
+                               settings=start_settings, terrain_idx=tidx))
+    state = jax.device_put(state)
+
+    closest = np.zeros((bt,), np.int64)
+    done = np.zeros((bt,), bool)
+    done_len = np.full((bt,), -1, np.int64)
+
+    def update_progress(frames):
+        nonlocal closest, done, done_len
+        feet = np.asarray(_feet_xy(model, frames[:, -1], foot_ids))
+        d_nodes = np.linalg.norm(
+            row_nodes[:, :, 0:2] - feet[:, None, 0:2], axis=-1)
+        # never advance onto the padding tail
+        d_nodes[np.arange(n_max)[None] >= n_valid[:, None]] = np.inf
+        closest = np.maximum(closest, d_nodes.argmin(axis=1))
+        end_d = np.linalg.norm(
+            row_nodes[np.arange(bt), n_valid - 1, 0:2] - feet[:, 0:2],
+            axis=-1)
+        newly_done = (~done) & (end_d < cfg.done_dist)
+        done_len[newly_done] = frames.shape[1]
+        done |= newly_done
+
+    rng, key = jax.random.split(rng)
+    tgt0 = jnp.asarray(
+        row_nodes[np.arange(bt),
+                  np.minimum(1, n_valid - 1), 0:2])        # (B, 2)
+    first_f, first_c = gen_start(state, stacked, key, frames[:, -np_prev:],
+                                 contacts[:, -np_prev:], tgt0, terrain_idx)
+    frames = first_f[:, :seq - 1]
+    contacts = first_c[:, :seq - 1]
+    update_progress(frames)
+
+    while frames.shape[1] < max_frames and not done.all():
+        if frames.shape[1] > np_prev + cfg.rewind_frames:
+            frames = frames[:, :-cfg.rewind_frames]
+            contacts = contacts[:, :-cfg.rewind_frames]
+        prev_f = frames[:, -np_prev:]
+        prev_c = contacts[:, -np_prev:]
+        tgt_idx = np.minimum(closest + cfg.lookahead_nodes, n_valid - 1)
+        target_xy = jnp.asarray(
+            row_nodes[np.arange(bt), tgt_idx, 0:2])
+        rng, key = jax.random.split(rng)
+        new_f, new_c = gen_step(state, stacked, key, prev_f, prev_c,
+                                target_xy, terrain_idx)
+        frames = jnp.concatenate([frames, new_f], axis=1)
+        contacts = jnp.concatenate([contacts, new_c], axis=1)
+        update_progress(frames)
+
+    done_len[done_len < 0] = frames.shape[1]
+
+    results = []
+    frames_np = np.asarray(frames)
+    contacts_np = np.asarray(contacts)
+    for i, t in enumerate(terrains):
+        sl = slice(i * b, (i + 1) * b)
+        c_loss, p_loss = score_rollouts(mdm, t, jnp.asarray(frames_np[sl]),
+                                        jnp.asarray(contacts_np[sl]))
+        results.append(PathGenResult(
+            frames34=frames_np[sl], contacts=contacts_np[sl],
+            lengths=done_len[sl],
+            contact_loss=np.asarray(c_loss), pen_loss=np.asarray(p_loss),
+            total_loss=np.asarray(c_loss + p_loss)))
+    return results
+
+
 def score_rollouts(mdm: MDM, terrain: terrain_lib.Terrain,
                    frames34: jax.Array, contacts: jax.Array):
     """Contact + penetration losses for ranking rollouts (reference:

@@ -154,6 +154,74 @@ def test_kin_gen_smoke(dataset_yaml, model, tmp_path):
         assert np.all(np.isfinite(clip.frames))
 
 
+def test_multi_terrain_generation(dataset_yaml, model, tmp_path):
+    """Batched multi-terrain generation (mdm_path.generate_frames_multi,
+    the TPU answer to reference-scale kin-gen): per-row terrain
+    conditioning matches the per-terrain single path exactly, and the
+    batched kin-gen driver produces the same artifacts as sequential."""
+    from parc_tpu.diffusion import gen as gen_lib
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.opt import motion_opt
+    from parc_tpu.pipeline import dataset, kin_gen
+    from parc_tpu.procgen import mdm_path
+    from parc_tpu.utils import terrain as terrain_lib
+
+    lib = dataset.load_dataset(model, dataset_yaml)
+    mdm = MDM(model, MDMConfig(diffusion_timesteps=11, d_model=32,
+                               num_heads=2, d_hid=32, num_layers=1))
+    state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=64)
+
+    # two terrains with DIFFERENT heights so cross-terrain conditioning
+    # leakage would be visible
+    t0 = terrain_lib.create_terrain(20, 20, dx=0.4, min_x=-4.0, min_y=-4.0)
+    t1 = terrain_lib.create_terrain(24, 24, dx=0.4, min_x=-4.0, min_y=-4.0,
+                                    height=0.7)
+
+    # 1) stacked sample_local_hf == per-terrain single calls
+    canon_xy = jnp.asarray([[0.0, 0.5], [-1.0, 1.0]])
+    canon_z = jnp.asarray([0.8, 1.5])
+    canon_h = jnp.asarray([0.3, -1.1])
+    stacked = mdm_path._stack_terrains([t0, t1])
+    hf_multi = gen_lib.sample_local_hf(
+        mdm, stacked, canon_xy, canon_z, canon_h,
+        terrain_idx=jnp.asarray([0, 1]))
+    for i, t in enumerate([t0, t1]):
+        hf_one = gen_lib.sample_local_hf(
+            mdm, t, canon_xy[i:i + 1], canon_z[i:i + 1], canon_h[i:i + 1])
+        np.testing.assert_allclose(np.asarray(hf_multi[i]),
+                                   np.asarray(hf_one[0]), atol=1e-5)
+
+    # 2) generate over both terrains in one batch
+    nodes0 = np.asarray([[-3.0, -3.0, 0.0], [0.0, 0.0, 0.0],
+                         [3.0, 3.0, 0.0]], np.float32)
+    nodes1 = np.asarray([[-3.0, 0.0, 0.7], [0.0, 0.0, 0.7],
+                         [2.0, 1.0, 0.7], [3.5, 2.0, 0.7]], np.float32)
+    cfg = mdm_path.PathGenSettings(batch_size=2, max_seconds=1.0)
+    results = mdm_path.generate_frames_multi(
+        mdm, state, [t0, t1], [nodes0, nodes1], jax.random.PRNGKey(7), cfg)
+    assert len(results) == 2
+    for r in results:
+        assert r.frames34.shape[0] == 2
+        assert r.frames34.shape[-1] == 34
+        assert np.all(np.isfinite(r.frames34))
+        assert np.all(np.isfinite(r.total_loss))
+
+    # 3) batched kin-gen driver: same file layout as sequential
+    kcfg = kin_gen.KinGenConfig(
+        num_rollouts=2, top_k=1, max_retries=1, mirror=False,
+        max_contact_loss=1e9, max_pen_loss=1e9, max_total_loss=1e9,
+        terrains_per_batch=2,
+        opt_cfg=motion_opt.MotionOptConfig(iters=5),
+        path_cfg=mdm_path.PathGenSettings(batch_size=2, max_seconds=1.0))
+    out = str(tmp_path / "kgb")
+    paths = kin_gen.run_kin_gen(mdm, state, 2, out, kcfg, seed=0)
+    from parc_tpu.anim import motion_data as md
+    for p in paths:
+        clip = md.load_motion_data(p)
+        assert clip.frames.shape[-1] == 34
+        assert np.all(np.isfinite(clip.frames))
+
+
 def test_kin_gen_file_terrain_mode(tmp_path):
     """terrain_style=file slices random windows out of stored terrains
     (reference: parc_2_kin_gen.py:236-287 ProcGenMode.FILE): slices vary

@@ -48,6 +48,8 @@ def main():
     state = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=512)
     state = ckpt_lib.restore(f"{args.mdm_dir}/checkpoints", state)
 
+    import tempfile
+
     configs = {
         "defaults (32 rollouts, 500 opt iters)": kin_gen.KinGenConfig(
             terrain_style=args.style),
@@ -55,24 +57,36 @@ def main():
             kin_gen.KinGenConfig(
                 terrain_style=args.style, num_rollouts=128,
                 opt_cfg=motion_opt.MotionOptConfig(iters=3000)),
+        # batched multi-terrain generation: all terrains' rollouts share
+        # one autoregressive device program
+        # (procgen/mdm_path.generate_frames_multi)
+        f"reference scale, terrains_per_batch={args.terrains}":
+            kin_gen.KinGenConfig(
+                terrain_style=args.style, num_rollouts=128,
+                terrains_per_batch=args.terrains,
+                opt_cfg=motion_opt.MotionOptConfig(iters=3000)),
     }
 
     print("\n## Kin-gen wall-clock: defaults vs reference scale\n")
     print("| config | terrains | clips kept | wall (s) | s / kept clip |")
     print("|---|---|---|---|---|")
     for label, cfg in configs.items():
-        # warm-up compile on one terrain (not timed)
-        kin_gen.gen_motion_and_terrain(mdm, state, cfg, seed=999)
+        # warm-up compile (not timed) at the same batch shape
+        if cfg.terrains_per_batch > 1:
+            with tempfile.TemporaryDirectory() as tmp:
+                kin_gen.run_kin_gen(mdm, state, cfg.terrains_per_batch,
+                                    tmp, cfg, seed=900)
+        else:
+            kin_gen.gen_motion_and_terrain(mdm, state, cfg, seed=999)
         t0 = time.time()
-        kept = 0
-        for i in range(args.terrains):
-            out = kin_gen.gen_motion_and_terrain(mdm, state, cfg,
-                                                 seed=100 + i)
-            kept += len(out)
+        with tempfile.TemporaryDirectory() as tmp:
+            out = kin_gen.run_kin_gen(mdm, state, args.terrains, tmp, cfg,
+                                      seed=100)
+            kept = len(out)
         wall = time.time() - t0
         per = wall / max(kept, 1)
         print(f"| {label} | {args.terrains} | {kept} | {wall:.1f} | "
-              f"{per:.1f} |")
+              f"{per:.1f} |", flush=True)
 
 
 if __name__ == "__main__":
