@@ -346,3 +346,197 @@ def motion_contact_optimization(model: cm.CharModel,
     x, totals = run(frames34, constraints)
     _, final_losses = jax.jit(loss_fn)(x, constraints)
     return x, {k: float(v) for k, v in final_losses.items()}
+
+
+def _mmean(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Per-clip masked mean: x (K, T, ...) weighted by w (K, T) -> (K,).
+
+    Averages over every non-K axis with w broadcast across the trailing
+    dims — for a full mask this equals jnp.mean over the clip, so each
+    clip's term matches the single-clip loss exactly."""
+    trailing = 1.0
+    for d in x.shape[2:]:
+        trailing *= d
+    wb = w.reshape(w.shape + (1,) * (x.ndim - w.ndim))
+    num = jnp.sum(x * wb, axis=tuple(range(1, x.ndim)))
+    den = jnp.sum(w, axis=1) * trailing
+    return num / jnp.maximum(den, 1e-9)
+
+
+def motion_opt_loss_batched(model: cm.CharModel, cfg: MotionOptConfig,
+                            stacked: terrain_lib.Terrain,
+                            terrain_idx: jax.Array,
+                            frames34: jax.Array, source34: jax.Array,
+                            contacts: jax.Array, valid: jax.Array,
+                            constraints: "BodyConstraints" = None
+                            ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Per-clip totals for K length-padded motions in one program.
+
+    frames34/source34 (K, T, 34); contacts (K, T, J); valid (K, T) —
+    padded frames (valid 0) contribute nothing to any term, so each
+    clip's loss equals its single-clip :func:`motion_opt_loss` on the
+    unpadded motion.  Each row reads ITS terrain through the stacked
+    one-hot lookups (utils/terrain.get_hf_val_bilinear_stacked).
+    constraints, if given, is a K-leading stacked BodyConstraints.
+    Returns ((K,) totals, dict of (K,) per-clip losses)."""
+    v = valid.astype(frames34.dtype)
+    losses = {}
+    losses["source_pos"] = cfg.w_source_pos * _mmean(
+        (frames34[..., 0:3] - source34[..., 0:3])**2, v)
+    losses["source_rot"] = cfg.w_source_rot * _mmean(
+        (frames34[..., 3:6] - source34[..., 3:6])**2, v)
+    losses["source_dof"] = cfg.w_source_dof * _mmean(
+        (frames34[..., 6:] - source34[..., 6:])**2, v)
+
+    v3 = v[:, 2:] * v[:, 1:-1] * v[:, :-2]
+    acc = frames34[:, 2:] - 2 * frames34[:, 1:-1] + frames34[:, :-2]
+    losses["smooth"] = cfg.w_smooth * _mmean(acc**2, v3)
+
+    pts, body_pos, body_rot = _body_points(model, frames34)
+    ground = terrain_lib.get_hf_val_bilinear_stacked(
+        stacked, terrain_idx, pts[..., 0:2])
+    h_above = pts[..., 2] - model.contact_point_radius - ground
+
+    pen = jnp.maximum(-h_above, 0.0)
+    losses["penetration"] = cfg.w_penetration * _mmean(pen**2, v)
+
+    onehot = jax.nn.one_hot(model.contact_point_body, model.num_bodies)
+    per_body_min = jnp.min(
+        jnp.where(onehot.T[None, None] > 0, h_above[..., None, :], jnp.inf),
+        axis=-1)                                           # (K, T, J)
+    tagged = contacts > 0.5
+    cdist = jnp.where(tagged, jnp.maximum(per_body_min - cfg.contact_eps,
+                                          0.0), 0.0)
+    losses["contact"] = cfg.w_contact * _mmean(
+        jnp.sqrt(cdist**2 + 1e-4) - 1e-2, v)
+
+    vel = (pts[:, 1:] - pts[:, :-1]) * cfg.fps
+    pt_tagged = (tagged[..., model.contact_point_body]
+                 & (h_above < cfg.contact_eps))[:, :-1]
+    if constraints is not None:
+        cmask = jax.vmap(constraint_slide_mask,
+                         in_axes=(0, None, None))(
+            constraints, frames34.shape[1], model.num_bodies)
+        pt_tagged = pt_tagged & ~cmask[:, :-1, model.contact_point_body]
+    slide = jnp.where(pt_tagged,
+                      jnp.sum(vel[..., 0:2]**2, axis=-1), 0.0)
+    v2 = v[:, 1:] * v[:, :-1]
+    losses["slide"] = cfg.w_slide * _mmean(
+        jnp.sqrt(slide + 1e-6) - 1e-3, v2)
+
+    if constraints is not None:
+        # single-clip loss divides its sum by T: reproduce per clip with
+        # the true (unpadded) length
+        bc_sums = jax.vmap(
+            lambda bc, bp, br: body_constraint_loss(cfg, bc, bp, br)
+        )(constraints, body_pos, body_rot) * frames34.shape[1]
+        lengths = jnp.maximum(jnp.sum(v, axis=1), 1.0)
+        losses["body_constraint"] = (cfg.w_body_constraint
+                                     * bc_sums / lengths)
+
+    jerk = (body_pos[:, 3:] - 3 * body_pos[:, 2:-1] + 3 * body_pos[:, 1:-2]
+            - body_pos[:, :-3]) * cfg.fps**3
+    jerk_mag = jnp.sqrt(jnp.sum(jerk**2, axis=-1) + 1e-12)
+    v4 = v[:, 3:] * v[:, 2:-1] * v[:, 1:-2] * v[:, :-3]
+    losses["jerk"] = cfg.w_jerk * _mmean(
+        jnp.maximum(jerk_mag - cfg.jerk_clamp, 0.0)**2, v4)
+
+    totals = sum(losses.values())
+    return totals, losses
+
+
+def motion_contact_optimization_batched(
+        model: cm.CharModel, terrains, clips_frames34, clips_contacts,
+        cfg: MotionOptConfig = MotionOptConfig(), pad_to: int = None):
+    """Optimize K variable-length motions (each on ITS OWN terrain) in
+    ONE jitted Adam scan.
+
+    The single-clip path re-traces and re-compiles per clip because every
+    motion has a different length T; at reference scale (3000 Adam iters
+    x top-2 clips x 2000 motions/iteration, PARC/kin_gen_default.yaml)
+    those compiles dominate kin-gen wall-clock on a remote TPU.  Here
+    clips are padded to one static T (repeat-last-frame; padded frames
+    are masked out of every loss term and receive zero gradient), the K
+    per-clip totals are summed (clips are independent, so the joint Adam
+    step equals K independent steps), and the whole thing is one device
+    program with per-row stacked-terrain lookups.
+
+    Args:
+      terrains: list of K Terrain (one per clip).
+      clips_frames34 / clips_contacts: lists of (T_i, 34) / (T_i, J).
+      pad_to: static padded length (>= max T_i); defaults to max T_i.
+
+    Returns list of K (frames (T_i, 34), final-loss dict) pairs.
+    """
+    import numpy as np
+    k = len(terrains)
+    assert k == len(clips_frames34) == len(clips_contacts) and k > 0
+    lengths = [int(f.shape[0]) for f in clips_frames34]
+    t_pad = int(pad_to or max(lengths))
+    assert t_pad >= max(lengths)
+    nb = model.num_bodies
+
+    def pad(x, t):
+        x = np.asarray(x, np.float32)
+        return np.concatenate(
+            [x, np.repeat(x[-1:], t - x.shape[0], axis=0)]) \
+            if x.shape[0] < t else x
+
+    frames = jnp.asarray(np.stack([pad(f, t_pad) for f in clips_frames34]))
+    contacts_p = np.stack([pad(c, t_pad) for c in clips_contacts])
+    # padded frames carry no contact tags (no spurious contact loss)
+    for i, li in enumerate(lengths):
+        contacts_p[i, li:] = 0.0
+    contacts_j = jnp.asarray(contacts_p)
+    valid = jnp.asarray(
+        np.arange(t_pad)[None] < np.asarray(lengths)[:, None],
+        jnp.float32)
+
+    stacked = terrain_lib.stack_terrains(terrains)
+    terrain_idx = jnp.arange(k)
+
+    constraints = None
+    if cfg.auto_body_constraints and cfg.w_body_constraint > 0:
+        # per-clip estimation on the clip's own terrain (host-side,
+        # fixed (max_constraints,) shapes), then stacked K-leading
+        per_clip = [
+            compute_approx_body_constraints(
+                model, terrains[i], jnp.asarray(clips_frames34[i]),
+                jnp.asarray(clips_contacts[i]), cfg)
+            for i in range(k)]
+        constraints = jax.tree.map(lambda *xs: jnp.stack(xs), *per_clip)
+        # run starts/ends index into the padded timeline unchanged (the
+        # valid region is a prefix), so no re-indexing is needed
+
+    tx = optax.adam(cfg.lr)
+
+    def loss_fn(x, bc):
+        totals, per = motion_opt_loss_batched(
+            model, cfg, stacked, terrain_idx, x, frames, contacts_j,
+            valid, constraints=bc)
+        return jnp.sum(totals), per
+
+    @jax.jit
+    def run(x0, bc):
+        opt_state = tx.init(x0)
+
+        def step(carry, _):
+            x, opt = carry
+            (total, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(x, bc)
+            updates, opt = tx.update(grads, opt, x)
+            x = optax.apply_updates(x, updates)
+            return (x, opt), total
+
+        (x, _), totals = jax.lax.scan(step, (x0, opt_state), None,
+                                      length=cfg.iters)
+        return x, totals
+
+    x, _ = run(frames, constraints)
+    _, final_losses = jax.jit(loss_fn)(x, constraints)
+    x_np = np.asarray(x)
+    out = []
+    for i, li in enumerate(lengths):
+        out.append((jnp.asarray(x_np[i, :li]),
+                    {kk: float(vv[i]) for kk, vv in final_losses.items()}))
+    return out

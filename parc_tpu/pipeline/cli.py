@@ -25,8 +25,29 @@ import yaml
 
 
 def _dataclass_from_dict(cls, d: dict):
-    fields = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in d.items() if k in fields})
+    """Build a (possibly nested) config dataclass from a flat YAML dict.
+
+    Nested dicts become nested dataclasses (e.g. kin_gen's ``opt_cfg:``
+    block -> MotionOptConfig), and numeric strings are coerced to the
+    field's type — PyYAML parses ``1.0e9`` (exponent without a sign) as
+    a *string*, a silent trap for hand-written configs."""
+    try:
+        import typing
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {f.name: f.type for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        t = hints.get(f.name)
+        if dataclasses.is_dataclass(t) and isinstance(v, dict):
+            v = _dataclass_from_dict(t, v)
+        elif t in (float, int) and isinstance(v, str):
+            v = t(float(v))
+        kwargs[f.name] = v
+    return cls(**kwargs)
 
 
 def _load_config(args) -> dict:

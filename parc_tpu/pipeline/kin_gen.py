@@ -128,15 +128,15 @@ def _draw_terrain_and_path(cfg: KinGenConfig, rng_np: np.random.Generator):
 
 def _clips_from_result(mdm: MDM, cfg: KinGenConfig, hf: np.ndarray,
                        terrain: terrain_lib.Terrain,
-                       result) -> List[md.MotionData]:
-    """Threshold/rank rollouts, contact-optimize and mirror the keepers."""
+                       result, opt_frames: dict = None) -> List[md.MotionData]:
+    """Threshold/rank rollouts, contact-optimize and mirror the keepers.
+
+    ``opt_frames`` maps rollout index -> pre-optimized frames (the batched
+    cross-terrain optimizer, motion_contact_optimization_batched); when
+    given, the per-clip optimization is skipped."""
     model = mdm.model
     dxdy = np.asarray([cfg.terrain_dx, cfg.terrain_dx], np.float32)
-    ok = ((result.contact_loss < cfg.max_contact_loss)
-          & (result.pen_loss < cfg.max_pen_loss)
-          & (result.total_loss < cfg.max_total_loss))
-    order = np.argsort(result.total_loss)
-    keep = [i for i in order if ok[i]][:cfg.top_k]
+    keep = _select_keepers(cfg, result)
     if not keep:
         return []
 
@@ -145,11 +145,14 @@ def _clips_from_result(mdm: MDM, cfg: KinGenConfig, hf: np.ndarray,
     clips = []
     for i in keep:
             t = int(result.lengths[i])
-            frames = jnp.asarray(result.frames34[i, :t])
             contacts = jnp.asarray(result.contacts[i, :t])
-            if cfg.optimize:
-                frames, _ = motion_opt.motion_contact_optimization(
-                    model, terrain, frames, contacts, cfg.opt_cfg)
+            if opt_frames is not None and i in opt_frames:
+                frames = jnp.asarray(opt_frames[i])
+            else:
+                frames = jnp.asarray(result.frames34[i, :t])
+                if cfg.optimize:
+                    frames, _ = motion_opt.motion_contact_optimization(
+                        model, terrain, frames, contacts, cfg.opt_cfg)
             f_np, c_np = motion_edit.remove_hesitation_frames(
                 np.asarray(frames), np.asarray(contacts))
             # terrain masks for future augmentation
@@ -179,6 +182,15 @@ def _clips_from_result(mdm: MDM, cfg: KinGenConfig, hf: np.ndarray,
                     terrain=motion_edit.flip_terrain_about_xz(clip_terrain),
                     losses=clip_losses))
     return clips
+
+
+def _select_keepers(cfg: KinGenConfig, result) -> List[int]:
+    """Rollout indices passing the loss thresholds, best-first, top_k."""
+    ok = ((result.contact_loss < cfg.max_contact_loss)
+          & (result.pen_loss < cfg.max_pen_loss)
+          & (result.total_loss < cfg.max_total_loss))
+    order = np.argsort(result.total_loss)
+    return [i for i in order if ok[i]][:cfg.top_k]
 
 
 def gen_motion_and_terrain(mdm: MDM, state: MDMState, cfg: KinGenConfig,
@@ -279,8 +291,29 @@ def run_kin_gen(mdm: MDM, state: MDMState, num_motions: int, out_dir: str,
         rng, key = jax.random.split(rng)
         results = mdm_path.generate_frames_multi(
             mdm, state, terrains, nodes_l, key, path_cfg)
+        # contact-optimize EVERY keeper of the round in one jitted Adam
+        # scan, padded to the static generation-length ceiling (one
+        # compile shape) — per-clip optimization re-compiles per length
+        opt_by_slot = {}
+        if cfg.optimize:
+            ts, fs, cs, who = [], [], [], []
+            for slot, terrain, result in zip(batch, terrains, results):
+                for j in _select_keepers(cfg, result):
+                    t = int(result.lengths[j])
+                    ts.append(terrain)
+                    fs.append(result.frames34[j, :t])
+                    cs.append(result.contacts[j, :t])
+                    who.append((slot, j))
+            if who:
+                pad_to = int(path_cfg.max_seconds * path_cfg.fps)
+                pad_to = max(pad_to, max(f.shape[0] for f in fs))
+                opted = motion_opt.motion_contact_optimization_batched(
+                    mdm.model, ts, fs, cs, cfg.opt_cfg, pad_to=pad_to)
+                for (slot, j), (f_opt, _) in zip(who, opted):
+                    opt_by_slot.setdefault(slot, {})[j] = np.asarray(f_opt)
         for i, terrain, hf, result in zip(batch, terrains, hfs, results):
-            clips = _clips_from_result(mdm, cfg, hf, terrain, result)
+            clips = _clips_from_result(mdm, cfg, hf, terrain, result,
+                                       opt_frames=opt_by_slot.get(i))
             if clips:
                 save(clips)
                 pending.remove(i)

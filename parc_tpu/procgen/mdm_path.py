@@ -200,26 +200,8 @@ def generate_frames_along_path(mdm: MDM, state: MDMState,
         total_loss=np.asarray(c_loss + p_loss))
 
 
-def _stack_terrains(terrains: List[terrain_lib.Terrain]
-                    ) -> terrain_lib.Terrain:
-    """Stack R terrains into one hf (R, H, W) Terrain (edge-padded to the
-    largest grid; per-terrain min_point).  dxdy must match."""
-    dx0 = np.asarray(terrains[0].dxdy)
-    hfs, mps = [], []
-    h = max(int(t.hf.shape[0]) for t in terrains)
-    w = max(int(t.hf.shape[1]) for t in terrains)
-    for t in terrains:
-        assert np.allclose(np.asarray(t.dxdy), dx0), "dxdy must match"
-        hf = np.asarray(t.hf, np.float32)
-        hf = np.pad(hf, [(0, h - hf.shape[0]), (0, w - hf.shape[1])],
-                    mode="edge")
-        hfs.append(hf)
-        mps.append(np.asarray(t.min_point, np.float32))
-    hf = jnp.asarray(np.stack(hfs))
-    return terrain_lib.Terrain(
-        hf=hf, hf_mask=jnp.zeros(hf.shape, bool),
-        hf_maxmin=jnp.stack([hf + 3.0, hf - 3.0], -1),
-        min_point=jnp.asarray(np.stack(mps)), dxdy=jnp.asarray(dx0))
+# R terrains -> one hf (R, H, W) Terrain (utils/terrain.stack_terrains)
+_stack_terrains = terrain_lib.stack_terrains
 
 
 def generate_frames_multi(mdm: MDM, state: MDMState,

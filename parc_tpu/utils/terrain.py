@@ -98,6 +98,86 @@ def get_hf_val_bilinear(terrain: Terrain, points_xy: jax.Array) -> jax.Array:
             + (1 - fx) * fy * h01 + fx * fy * h11)
 
 
+def stack_terrains(terrains) -> Terrain:
+    """Stack R terrains into one hf (R, H, W) Terrain (edge-padded to the
+    largest grid; per-terrain (R, 2) min_point).  dxdy must match.
+
+    Rows of a batch can then look up DIFFERENT terrains in one MXU-friendly
+    program (:func:`get_hf_val_stacked` / the stacked ``sample_local_hf``
+    path in diffusion/gen.py) — the TPU answer to per-clip terrains in
+    batched kin-gen / motion optimization."""
+    import numpy as np
+    dx0 = np.asarray(terrains[0].dxdy)
+    h = max(int(t.hf.shape[0]) for t in terrains)
+    w = max(int(t.hf.shape[1]) for t in terrains)
+    hfs, mps = [], []
+    for t in terrains:
+        assert np.allclose(np.asarray(t.dxdy), dx0), "dxdy must match"
+        hf = np.asarray(t.hf, np.float32)
+        hf = np.pad(hf, [(0, h - hf.shape[0]), (0, w - hf.shape[1])],
+                    mode="edge")
+        hfs.append(hf)
+        mps.append(np.asarray(t.min_point, np.float32))
+    hf = jnp.asarray(np.stack(hfs))
+    return Terrain(
+        hf=hf, hf_mask=jnp.zeros(hf.shape, bool),
+        hf_maxmin=jnp.stack([hf + 3.0, hf - 3.0], -1),
+        min_point=jnp.asarray(np.stack(mps)), dxdy=jnp.asarray(dx0))
+
+
+def _stacked_uv(stacked: Terrain, terrain_idx: jax.Array,
+                points_xy: jax.Array) -> jax.Array:
+    """Fractional grid coords of world points in their per-row terrain.
+
+    stacked.hf (R, H, W); terrain_idx (N,); points_xy (N, ..., 2)."""
+    mp = jnp.asarray(stacked.min_point)
+    if mp.ndim == 2:
+        mp = mp[terrain_idx]
+    mp = mp.reshape((points_xy.shape[0],) + (1,) * (points_xy.ndim - 2)
+                    + (2,))
+    uv = (points_xy - mp) / stacked.dxdy
+    dims = jnp.asarray(stacked.hf.shape[-2:])
+    return jnp.clip(uv, 0.0, (dims - 1).astype(uv.dtype))
+
+
+def get_hf_val_stacked(stacked: Terrain, terrain_idx: jax.Array,
+                       points_xy: jax.Array) -> jax.Array:
+    """Nearest-cell lookup where each row reads ITS OWN terrain.
+
+    Goes through the one-hot MXU contraction (utils/gather) — native
+    gathers serialize on TPU."""
+    from parc_tpu.utils import gather as gather_lib
+    lead = points_xy.shape[:-1]
+    uv = _stacked_uv(stacked, terrain_idx, points_xy)
+    inds = jnp.round(uv).astype(jnp.int32).reshape(
+        (points_xy.shape[0], -1, 2))
+    return gather_lib.batched_hf_gather(
+        stacked.hf, terrain_idx, inds[..., 0], inds[..., 1]).reshape(lead)
+
+
+def get_hf_val_bilinear_stacked(stacked: Terrain, terrain_idx: jax.Array,
+                                points_xy: jax.Array) -> jax.Array:
+    """Bilinear per-row-terrain lookup (4 one-hot gathers + weights)."""
+    from parc_tpu.utils import gather as gather_lib
+    lead = points_xy.shape[:-1]
+    n = points_xy.shape[0]
+    uv = _stacked_uv(stacked, terrain_idx, points_xy).reshape((n, -1, 2))
+    dims = jnp.asarray(stacked.hf.shape[-2:])
+    i0 = jnp.floor(uv).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, dims - 1)
+    f = uv - i0
+    g = lambda ix, iy: gather_lib.batched_hf_gather(
+        stacked.hf, terrain_idx, ix, iy)
+    h00 = g(i0[..., 0], i0[..., 1])
+    h10 = g(i1[..., 0], i0[..., 1])
+    h01 = g(i0[..., 0], i1[..., 1])
+    h11 = g(i1[..., 0], i1[..., 1])
+    fx, fy = f[..., 0], f[..., 1]
+    out = ((1 - fx) * (1 - fy) * h00 + fx * (1 - fy) * h10
+           + (1 - fx) * fy * h01 + fx * fy * h11)
+    return out.reshape(lead)
+
+
 def get_point(terrain: Terrain, ij: jax.Array) -> jax.Array:
     """Cell-center world xy from integer grid indices."""
     return terrain.min_point + ij.astype(terrain.min_point.dtype) * terrain.dxdy

@@ -247,6 +247,27 @@ def test_kin_gen_file_terrain_mode(tmp_path):
         kin_gen.gen_terrain(kin_gen.KinGenConfig(terrain_style="nope"), rng)
 
 
+def test_cli_config_nested_dataclass_and_coercion():
+    """--config YAML ergonomics: a nested ``opt_cfg:`` block becomes a
+    MotionOptConfig (not a raw dict), and numeric strings coerce to the
+    field type — PyYAML parses ``1.0e9`` (exponent without a sign) as a
+    string, which previously crashed _select_keepers with a ufunc error."""
+    from parc_tpu.opt import motion_opt
+    from parc_tpu.pipeline import cli, kin_gen
+
+    cfg = cli._dataclass_from_dict(kin_gen.KinGenConfig, {
+        "max_contact_loss": "1.0e9",          # YAML-no-sign string float
+        "num_rollouts": 4,
+        "opt_cfg": {"iters": 7, "w_contact": "2.5e0"},
+    })
+    assert isinstance(cfg.max_contact_loss, float)
+    assert cfg.max_contact_loss == 1.0e9
+    assert isinstance(cfg.opt_cfg, motion_opt.MotionOptConfig)
+    assert cfg.opt_cfg.iters == 7
+    assert cfg.opt_cfg.w_contact == 2.5
+    assert cfg.num_rollouts == 4
+
+
 def test_kin_gen_job_sharding(model, tmp_path, monkeypatch):
     """Multi-job kin-gen sharding (reference parc_0_setup_iter.py:21-24
     writes num_batches_of_motions job configs): batches get disjoint seed

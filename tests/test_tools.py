@@ -157,6 +157,61 @@ def test_motion_opt_reduces_penetration(model):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_motion_opt_batched_matches_single(model):
+    """The batched padded/masked optimizer (one jitted Adam scan over K
+    variable-length clips, each on ITS OWN terrain) matches the per-clip
+    single path: the masked loss equals the single-clip loss at init, and
+    the optimized frames agree (Adam is per-parameter and the clips'
+    losses are block-separable, so joint == independent up to reduction
+    reordering)."""
+    from parc_tpu.opt import motion_opt as mo
+
+    t0 = terrain_lib.create_terrain(24, 24, dx=0.4, min_x=-4.8, min_y=-4.8)
+    t1 = terrain_lib.create_terrain(20, 20, dx=0.4, min_x=-4.0, min_y=-4.0,
+                                    height=0.3)
+    c0 = walking_clip(seed=6, n=20)
+    c1 = walking_clip(seed=7, n=14)
+    f0 = jnp.asarray(c0.frames).at[:, 2].add(-0.08)
+    f1 = jnp.asarray(c1.frames).at[:, 2].add(0.3 - 0.06)
+    ct0, ct1 = jnp.asarray(c0.contacts), jnp.asarray(c1.contacts)
+    cfg = mo.MotionOptConfig(iters=40)
+
+    # loss parity at init (padded/masked batched loss vs single)
+    stacked = terrain_lib.stack_terrains([t0, t1])
+    pad = np.concatenate([np.asarray(f1),
+                          np.repeat(np.asarray(f1[-1:]), 6, axis=0)])
+    frames_b = jnp.asarray(np.stack([np.asarray(f0), pad]))
+    cpad = np.concatenate([np.asarray(ct1), np.zeros((6,) + ct1.shape[1:],
+                                                     np.float32)])
+    contacts_b = jnp.asarray(np.stack([np.asarray(ct0), cpad]))
+    valid = jnp.asarray(np.stack([np.ones(20), np.r_[np.ones(14),
+                                                     np.zeros(6)]]),
+                        jnp.float32)
+    totals, per = mo.motion_opt_loss_batched(
+        model, cfg, stacked, jnp.arange(2), frames_b, frames_b,
+        contacts_b, valid, constraints=None)
+    for i, (t, f, c) in enumerate([(t0, f0, ct0), (t1, f1, ct1)]):
+        single, _ = mo.motion_opt_loss(model, cfg, t, f, f, c,
+                                       constraints=None)
+        np.testing.assert_allclose(float(totals[i]), float(single),
+                                   rtol=1e-4, err_msg=f"clip {i}")
+
+    # end-to-end optimization parity
+    out = mo.motion_contact_optimization_batched(
+        model, [t0, t1], [f0, f1], [ct0, ct1], cfg, pad_to=26)
+    for i, (t, f, c) in enumerate([(t0, f0, ct0), (t1, f1, ct1)]):
+        ref, ref_losses = mo.motion_contact_optimization(model, t, f, c,
+                                                         cfg)
+        got, got_losses = out[i]
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-3, err_msg=f"clip {i}")
+        for kk in ref_losses:
+            np.testing.assert_allclose(got_losses[kk], ref_losses[kk],
+                                       rtol=0.05, atol=1e-4,
+                                       err_msg=f"clip {i} {kk}")
+
+
 def test_motion_opt_body_constraints(model):
     """Contact-run body constraints (reference:
     motion_optimization.py:34-181): constraints are estimated per
