@@ -62,15 +62,20 @@ kin_gen_mix() {  # $1 = iter index, $2 = mdm_dir
         fi
         log "kin_gen_$it: style=$style count=$count"
         local extra=()
+        # batched device program: min(count, 4) terrains x num_rollouts
+        # rows share every denoise step (kin_gen.terrains_per_batch)
+        local tpb=$(( count < 4 ? count : 4 ))
         if [ "$style" = file ]; then
             cat > "$OUT/kg_file.yaml" <<YAML
 terrain_style: file
 terrain_files: ["$FILE_TERRAIN"]
+terrains_per_batch: $tpb
 YAML
             extra=(--config "$OUT/kg_file.yaml")
         else
             cat > "$OUT/kg_$style.yaml" <<YAML
 terrain_style: $style
+terrains_per_batch: $tpb
 YAML
             extra=(--config "$OUT/kg_$style.yaml")
         fi
@@ -135,9 +140,15 @@ run_iter 1 "$MDM1_DIR"
 
 log "=== ITERATION 2: retrain MDM on the grown dataset ==="
 if [ ! -d "$OUT/mdm_2/checkpoints" ]; then
+    # reference train_gen scale: batch 512, checkpoint history for the sweep
+    cat > "$OUT/mdm2.yaml" <<YAML
+batch_size: 512
+epochs_per_checkpoint: 40
+epochs_per_output: 5
+YAML
     python -m parc_tpu.pipeline.cli train_mdm \
         --dataset "$OUT/dataset_2.yaml" --out_dir "$OUT/mdm_2" \
-        --max_epochs "$MDM_EPOCHS" \
+        --max_epochs "$MDM_EPOCHS" --config "$OUT/mdm2.yaml" \
         2>&1 | tee "$OUT/logs/train_mdm_2.log"
 fi
 run_iter 2 "$OUT/mdm_2"
