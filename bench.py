@@ -35,6 +35,14 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor an explicit JAX_PLATFORMS=cpu: the remote-TPU
+        # sitecustomize re-pins the platform config after registering
+        # its plugin, so the env var alone is silently ignored
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from parc_tpu.anim import motion_lib as ml
