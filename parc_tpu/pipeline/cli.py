@@ -78,13 +78,27 @@ def stage_train_mdm(cfg: dict):
     import jax
     from parc_tpu.diffusion.mdm import MDM, MDMConfig
     from parc_tpu.pipeline import dataset, train_mdm
+    from parc_tpu.utils import checkpoint as ckpt_lib
     model = _build_model()
     lib = dataset.load_dataset(model, cfg["dataset"])
     mdm = MDM(model, _dataclass_from_dict(MDMConfig, cfg))
     tcfg = _dataclass_from_dict(train_mdm.MDMTrainerConfig, cfg)
     if cfg.get("out_dir"):
         tcfg = dataclasses.replace(tcfg, output_dir=cfg["out_dir"])
-    train_mdm.train(mdm, lib, tcfg, seed=cfg.get("seed", 0),
+    # warm start: PARC iterations k>1 continue training the previous
+    # iteration's model on the grown dataset rather than re-initializing
+    # (reference: parc_0_setup_iter.py:11,72-76 input_model_path ->
+    # parc_1_train_gen.py:40-46; feature stats come with the restored
+    # state, like the reference's reused input_sampler_stats_path).
+    # A checkpoint already in out_dir (a resumed run) wins over init_from.
+    state = None
+    if (cfg.get("init_from")
+            and ckpt_lib.latest_step(
+                f"{tcfg.output_dir}/checkpoints") is None):
+        state = mdm.init(lib, jax.random.PRNGKey(cfg.get("seed", 0)))
+        state = ckpt_lib.restore(f"{cfg['init_from']}/checkpoints", state)
+        print(f"warm-started MDM from {cfg['init_from']}")
+    train_mdm.train(mdm, lib, tcfg, state=state, seed=cfg.get("seed", 0),
                     max_epochs=cfg.get("max_epochs"))
 
 
@@ -422,6 +436,9 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--out_dir", default=None)
     p.add_argument("--mdm_dir", default=None)
+    p.add_argument("--init_from", default=None,
+                   help="train_mdm: warm-start from this run's checkpoints"
+                        " (reference input_model_path iteration chaining)")
     p.add_argument("--tracker_dir", default=None)
     p.add_argument("--checkpoint", default=None,
                    help="tracker checkpoint for record/eval: 'last' "

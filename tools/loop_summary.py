@@ -76,8 +76,10 @@ def manifest_stats(path):
 def summarize_two_iter(out):
     print("# PARC self-improvement loop at scale (two iterations)\n")
     print("Run dir: `%s` (tools/loop_two_iter.sh); tracker @4096 envs on" % out)
-    print("one TPU v5e chip; MDM iteration 2 retrained from scratch on the")
-    print("grown dataset. Stage logs committed under docs/loop_r3/.\n")
+    print("one TPU v5e chip; MDM iteration 2 warm-started from iteration 1")
+    print("and continued on the grown dataset (reference iteration")
+    print("chaining, parc_0_setup_iter.py input_model_path). Stage logs")
+    print("committed under docs/loop_r3/.\n")
 
     per_iter = {}
     for k in (1, 2):

@@ -9,8 +9,10 @@
 #   physically-corrected recordings of every iteration so far.
 #
 # MDM_1 is the pre-trained seed-clip model (/tmp/mdm_scale or
-# $MDM1_DIR); MDM_2 retrains from scratch on the grown, heterogeneous
-# dataset_2 (>= dozens of clips across terrain styles + mirrors) — the
+# $MDM1_DIR); MDM_2 warm-starts from it and continues training on the
+# grown, heterogeneous dataset_2 (>= dozens of clips across terrain
+# styles + mirrors) — reference iteration chaining
+# (parc_0_setup_iter.py:11,72-76 input_model_path) and the
 # dataset-diversity evidence for docs/mdm_scale.md.
 #
 # Stage logs land under $OUT/logs; summarize with
@@ -23,7 +25,7 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 OUT=${OUT:-/tmp/loop_r3}
 ITERS=${ITERS:-1500}
 MDM1_DIR=${MDM1_DIR:-/tmp/mdm_scale}
-MDM_EPOCHS=${MDM_EPOCHS:-120}
+MDM_EPOCHS=${MDM_EPOCHS:-150}
 # kin-gen terrain mix per iteration: style:count pairs
 KG_MIX=${KG_MIX:-"boxes:5 stairs:3 paths:3 file:3"}
 FILE_TERRAIN=${FILE_TERRAIN:-/root/reference/data/terrains/TEASER_TERRAIN.pkl}
@@ -138,9 +140,10 @@ run_iter() {  # $1 = iter index, $2 = mdm_dir
 log "=== ITERATION 1 (MDM: $MDM1_DIR) ==="
 run_iter 1 "$MDM1_DIR"
 
-log "=== ITERATION 2: retrain MDM on the grown dataset ==="
+log "=== ITERATION 2: continue MDM training on the grown dataset ==="
 if [ ! -d "$OUT/mdm_2/checkpoints" ]; then
-    # reference train_gen scale: batch 512, checkpoint history for the sweep
+    # reference train_gen scale: batch 512, checkpoint history for the
+    # sweep; warm-started from MDM_1 (parc_0_setup_iter input_model_path)
     cat > "$OUT/mdm2.yaml" <<YAML
 batch_size: 512
 epochs_per_checkpoint: 40
@@ -149,6 +152,7 @@ YAML
     python -m parc_tpu.pipeline.cli train_mdm \
         --dataset "$OUT/dataset_2.yaml" --out_dir "$OUT/mdm_2" \
         --max_epochs "$MDM_EPOCHS" --config "$OUT/mdm2.yaml" \
+        --init_from "$MDM1_DIR" \
         2>&1 | tee "$OUT/logs/train_mdm_2.log"
 fi
 run_iter 2 "$OUT/mdm_2"

@@ -1,12 +1,14 @@
-"""Checkpoint sweep of the loop's retrained MDM on style-diverse fixtures.
+"""Checkpoint sweep of the loop's iteration-2 MDM on style-diverse fixtures.
 
 Usage (after tools/loop_two_iter.sh):
     python tools/mdm2_sweep.py --run_dir /tmp/loop_r3
 
 Extends docs/mdm_scale.md with the dataset-diversity evidence (VERDICT
-round-2 item 6): the iteration-2 MDM — retrained from scratch on the
-grown heterogeneous dataset (seed clips + physically-corrected recordings
-over boxes/stairs/paths/file terrains) — swept checkpoint-by-checkpoint
+round-2 item 6): the iteration-2 MDM — warm-started from the
+iteration-1 model and continued on the grown heterogeneous dataset
+(seed clips + physically-corrected recordings over boxes/stairs/paths/
+file terrains; reference iteration chaining parc_0_setup_iter.py:11,
+72-76 input_model_path) — swept checkpoint-by-checkpoint
 on generation fixtures spanning terrain styles absent from the round-2
 9-clip set.  Fixtures are drawn exactly the way kin-gen draws its
 terrain+path attempts (procgen -> simplify -> A*), so every fixture path
@@ -94,12 +96,14 @@ def main():
     import numpy as np
     lines = [
         "",
-        "## Round 3: retrain at dataset diversity (loop iteration 2)",
+        "## Round 3: training at dataset diversity (loop iteration 2)",
         "",
-        "The two-iteration loop run (docs/loop_scale.md) retrains the",
-        "full-size MDM from scratch on the grown heterogeneous dataset",
-        f"(`{os.path.basename(ds)}`: seed clips + physically-corrected",
-        "recordings across boxes/stairs/paths/file terrains + mirrors).",
+        "The two-iteration loop run (docs/loop_scale.md) continues the",
+        "full-size MDM (warm-started from the iteration-1 model, the",
+        "reference's parc_0_setup_iter input_model_path chaining) on the",
+        f"grown heterogeneous dataset (`{os.path.basename(ds)}`: seed",
+        "clips + physically-corrected recordings across boxes/stairs/",
+        "paths/file terrains + mirrors).",
         "Checkpoint sweep on kin-gen-style fixtures (procgen -> A* path),",
         "one per terrain style — stairs/paths/file were absent from the",
         "round-2 9-clip set:",
