@@ -595,3 +595,46 @@ def test_best_checkpoint_step(tmp_path):
         str(d2), steps=[7, 9]) == 9
     # no checkpoints at all
     assert train_tracker.best_checkpoint_step(str(d2), steps=[]) is None
+
+
+def test_train_mdm_warm_start_chaining(dataset_yaml, model, tmp_path,
+                                       monkeypatch):
+    """PARC iteration chaining: ``train_mdm --init_from`` warm-starts from
+    the previous iteration's checkpoints (reference parc_0_setup_iter.py
+    input_model_path -> parc_1_train_gen.py:40-46), and a checkpoint
+    already in out_dir (a resumed run) wins over init_from."""
+    import jax.numpy as jnp
+    from parc_tpu.diffusion.mdm import MDM, MDMConfig
+    from parc_tpu.pipeline import cli, dataset, train_mdm
+    from parc_tpu.utils import checkpoint as ckpt_lib
+
+    tiny = dict(diffusion_timesteps=11, d_model=32, num_heads=2,
+                d_hid=32, num_layers=1)
+    lib = dataset.load_dataset(model, dataset_yaml)
+    mdm = MDM(model, MDMConfig(**tiny))
+    state_a = mdm.init(lib, jax.random.PRNGKey(0), stats_samples=64)
+    # make iteration-1 params recognizable
+    state_a = state_a.replace(
+        params=jax.tree.map(lambda p: p + 1.25, state_a.params))
+    a_dir = tmp_path / "mdm_1"
+    ckpt_lib.save(str(a_dir / "checkpoints"), 5, state_a)
+
+    captured = []
+
+    def fake_train(mdm_, lib_, tcfg, state=None, seed=0, max_epochs=None):
+        captured.append(state)
+        return state
+
+    monkeypatch.setattr(train_mdm, "train", fake_train)
+    cfg = dict(tiny, dataset=dataset_yaml, out_dir=str(tmp_path / "mdm_2"),
+               init_from=str(a_dir), stats_samples=64)
+    cli.stage_train_mdm(cfg)
+    assert captured[-1] is not None, "warm start must pass a restored state"
+    leaf_a = jax.tree.leaves(state_a.params)[0]
+    leaf_b = jax.tree.leaves(captured[-1].params)[0]
+    assert jnp.allclose(leaf_a, leaf_b), "params must come from init_from"
+
+    # a local checkpoint in out_dir wins over init_from (resume semantics)
+    ckpt_lib.save(str(tmp_path / "mdm_2" / "checkpoints"), 3, state_a)
+    cli.stage_train_mdm(cfg)
+    assert captured[-1] is None, "local resume must ignore init_from"
