@@ -16,7 +16,7 @@
 # dataset-diversity evidence for docs/mdm_scale.md.
 #
 # Stage logs land under $OUT/logs; summarize with
-#   python tools/loop_summary.py --two_iter $OUT > docs/loop_scale.md
+#   OUT=$OUT bash tools/commit_loop_evidence.sh
 # and commit the doc + $OUT/logs copies (VERDICT r2: evidence lives
 # in-repo, not /tmp).
 set -euo pipefail
