@@ -111,19 +111,23 @@ run_iter() {  # $1 = iter index, $2 = mdm_dir
     # tracker at scale
     if [ ! -f "$OUT/tracker_$it/log.tsv" ] || \
        [ "$(wc -l < "$OUT/tracker_$it/log.tsv")" -lt 10 ]; then
+        log "tracker_$it: start (@4096 envs, $ITERS iters)"
         python -m parc_tpu.pipeline.cli train_tracker \
             --dataset "$OUT/track_$it.yaml" --out_dir "$OUT/tracker_$it" \
             --num_envs 4096 --max_iters "$ITERS" \
             2>&1 | tee "$OUT/logs/tracker_$it.log"
+        log "tracker_$it: done"
     else
         log "tracker_$it: resuming/reusing existing run"
     fi
 
     # record physically-corrected motions from the best checkpoint
+    log "record_$it: start"
     python -m parc_tpu.pipeline.cli record --dataset "$OUT/track_$it.yaml" \
         --tracker_dir "$OUT/tracker_$it" --out_dir "$OUT/recorded_$it" \
         --checkpoint best \
         2>&1 | tee "$OUT/logs/record_$it.log"
+    log "record_$it: done"
 
     # next-iteration dataset = seed + all recordings so far
     mkdir -p "$OUT/motions_iter_$next"
