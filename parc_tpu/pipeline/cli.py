@@ -95,7 +95,11 @@ def stage_train_mdm(cfg: dict):
     if (cfg.get("init_from")
             and ckpt_lib.latest_step(
                 f"{tcfg.output_dir}/checkpoints") is None):
-        state = mdm.init(lib, jax.random.PRNGKey(cfg.get("seed", 0)))
+        # stats_samples: the throwaway state is only a shape template —
+        # mean/std are overwritten by the restore below, so skip the
+        # exact full-dataset stats pass (minutes on a grown dataset)
+        state = mdm.init(lib, jax.random.PRNGKey(cfg.get("seed", 0)),
+                         stats_samples=64)
         state = ckpt_lib.restore(f"{cfg['init_from']}/checkpoints", state)
         print(f"warm-started MDM from {cfg['init_from']}")
     train_mdm.train(mdm, lib, tcfg, state=state, seed=cfg.get("seed", 0),

@@ -21,6 +21,14 @@ import yaml
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# never claim the axon TPU grant from a summarizer: the loop's device
+# stages hold the single grant and this runs between/alongside them
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 
 def read_tracker(out_dir, it):
     log_path = os.path.join(out_dir, f"tracker_{it}", "log.tsv")
@@ -73,13 +81,30 @@ def manifest_stats(path):
     return dict(n=len(motions), classes=classes)
 
 
+def read_mdm(out_dir, name):
+    log_path = os.path.join(out_dir, name, "log.tsv")
+    if not os.path.exists(log_path):
+        return None
+    with open(log_path) as f:
+        rows = [r for r in csv.DictReader(f, delimiter="\t")
+                if r.get("Loss")]
+    if not rows:
+        return None
+    return dict(epochs=int(float(rows[-1]["Epoch"])),
+                first=float(rows[0]["Loss"]),
+                last=float(rows[-1]["Loss"]),
+                rows=[(int(float(r["Epoch"])), float(r["Loss"]))
+                      for r in rows])
+
+
 def summarize_two_iter(out):
     print("# PARC self-improvement loop at scale (two iterations)\n")
     print("Run dir: `%s` (tools/loop_two_iter.sh); tracker @4096 envs on" % out)
     print("one TPU v5e chip; MDM iteration 2 warm-started from iteration 1")
     print("and continued on the grown dataset (reference iteration")
-    print("chaining, parc_0_setup_iter.py input_model_path). Stage logs")
-    print("committed under docs/loop_r3/.\n")
+    print("chaining, parc_0_setup_iter.py input_model_path). Stage logs,")
+    print("learning-curve TSVs and dataset manifests are committed under")
+    print("docs/loop_r4/ (stage-by-stage, tools/stage_evidence.sh).\n")
 
     per_iter = {}
     for k in (1, 2):
@@ -145,6 +170,16 @@ def summarize_two_iter(out):
             print(f"| {int(float(r['Iteration']))} | "
                   f"{float(r['Test_Reward']):.3f} | "
                   f"{float(r['Test_Fail_Frac']):.3f} |")
+
+    mdms = [(k, read_mdm(out, k)) for k in ("mdm_1", "mdm_2")]
+    if any(m for _, m in mdms):
+        print("\n## MDM training (iteration 2 warm-starts from iteration 1)\n")
+        print("| model | epochs | first loss | last loss |")
+        print("|---|---|---|---|")
+        for name, m in mdms:
+            if m:
+                print(f"| {name} | {m['epochs']} | {m['first']:.4f} | "
+                      f"{m['last']:.4f} |")
 
 
 def summarize_single(out_dir: str):

@@ -8,23 +8,24 @@
 #   dataset_k + kin_gen_k -> record_k -> dataset_{k+1} = seed +
 #   physically-corrected recordings of every iteration so far.
 #
-# MDM_1 is the pre-trained seed-clip model (/tmp/mdm_scale or
-# $MDM1_DIR); MDM_2 warm-starts from it and continues training on the
-# grown, heterogeneous dataset_2 (>= dozens of clips across terrain
-# styles + mirrors) — reference iteration chaining
-# (parc_0_setup_iter.py:11,72-76 input_model_path) and the
-# dataset-diversity evidence for docs/mdm_scale.md.
+# MDM_1 trains from scratch on the seed dataset (reference
+# parc_1_train_gen.py on dataset_1) unless $MDM1_DIR already holds
+# checkpoints; MDM_2 warm-starts from MDM_1 and continues training on
+# the grown, heterogeneous dataset_2 — reference iteration chaining
+# (parc_0_setup_iter.py:11,72-76 input_model_path).
 #
-# Stage logs land under $OUT/logs; summarize with
-#   OUT=$OUT bash tools/commit_loop_evidence.sh
-# and commit the doc + $OUT/logs copies (VERDICT r2: evidence lives
-# in-repo, not /tmp).
+# EVIDENCE DISCIPLINE (VERDICT r3 item 1): /tmp is wiped between
+# rounds, so tools/stage_evidence.sh commits trimmed logs + TSVs +
+# manifests into docs/loop_r4/ after EVERY stage, and a background
+# heartbeat re-commits every 15 min so multi-hour stages (MDM_1,
+# trackers) leave a partial record even if the run dies.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
-OUT=${OUT:-/tmp/loop_r3}
+export OUT=${OUT:-/tmp/loop_r4}
 ITERS=${ITERS:-1500}
-MDM1_DIR=${MDM1_DIR:-/tmp/mdm_scale}
+MDM1_DIR=${MDM1_DIR:-$OUT/mdm_1}
+MDM1_EPOCHS=${MDM1_EPOCHS:-600}
 MDM_EPOCHS=${MDM_EPOCHS:-150}
 # kin-gen terrain mix per iteration: style:count pairs
 KG_MIX=${KG_MIX:-"boxes:5 stairs:3 paths:3 file:3"}
@@ -32,6 +33,13 @@ FILE_TERRAIN=${FILE_TERRAIN:-/root/reference/data/terrains/TEASER_TERRAIN.pkl}
 mkdir -p "$OUT/logs" "$OUT/seed_motions/base"
 
 log() { echo "[loop2iter $(date +%H:%M:%S)] $*"; }
+evidence() { bash tools/stage_evidence.sh "$1" || true; }
+
+# heartbeat: commit partial evidence during multi-hour stages
+( while true; do sleep 900; bash tools/stage_evidence.sh heartbeat \
+      >/dev/null 2>&1 || true; done ) &
+HB_PID=$!
+trap 'kill $HB_PID 2>/dev/null || true' EXIT
 
 # ---------------------------------------------------------------- seed
 python - <<'EOF'
@@ -48,10 +56,29 @@ for s in range(6):
                      walking_clip(seed=s, speed=1.0 + 0.2 * s))
 print("seed clips written")
 EOF
-export OUT
 python -m parc_tpu.pipeline.cli create_dataset \
     --motions_dir "$OUT/seed_motions" --out "$OUT/dataset_1.yaml" \
     2>&1 | tee "$OUT/logs/create_dataset_1.log"
+evidence dataset_1
+
+# ------------------------------------------------- MDM_1 (from scratch)
+if [ ! -d "$MDM1_DIR/checkpoints" ] || \
+   [ -z "$(ls "$MDM1_DIR/checkpoints" 2>/dev/null)" ]; then
+    log "MDM_1: training $MDM1_EPOCHS epochs on dataset_1"
+    cat > "$OUT/mdm1.yaml" <<YAML
+batch_size: 512
+iters_per_epoch: 50
+epochs_per_checkpoint: 40
+epochs_per_output: 5
+YAML
+    python -m parc_tpu.pipeline.cli train_mdm \
+        --dataset "$OUT/dataset_1.yaml" --out_dir "$MDM1_DIR" \
+        --max_epochs "$MDM1_EPOCHS" --config "$OUT/mdm1.yaml" \
+        2>&1 | tee "$OUT/logs/train_mdm_1.log"
+else
+    log "MDM_1: reusing checkpoints in $MDM1_DIR"
+fi
+evidence mdm_1
 
 kin_gen_mix() {  # $1 = iter index, $2 = mdm_dir
     local it=$1 mdm=$2 style count seed_base
@@ -87,6 +114,7 @@ YAML
             --seed $((seed_base)) "${extra[@]}" \
             2>&1 | tee -a "$OUT/logs/kin_gen_$it.log"
         seed_base=$((seed_base + 100))
+        evidence "kin_gen_${it}_${style}"
     done
 }
 
@@ -107,6 +135,7 @@ run_iter() {  # $1 = iter index, $2 = mdm_dir
         --motions_dir "$OUT/motions_track_$it" \
         --out "$OUT/track_$it.yaml" \
         2>&1 | tee "$OUT/logs/create_dataset_track_$it.log"
+    evidence "track_manifest_$it"
 
     # tracker at scale
     if [ ! -f "$OUT/tracker_$it/log.tsv" ] || \
@@ -120,6 +149,7 @@ run_iter() {  # $1 = iter index, $2 = mdm_dir
     else
         log "tracker_$it: resuming/reusing existing run"
     fi
+    evidence "tracker_$it"
 
     # record physically-corrected motions from the best checkpoint
     log "record_$it: start"
@@ -128,6 +158,7 @@ run_iter() {  # $1 = iter index, $2 = mdm_dir
         --checkpoint best \
         2>&1 | tee "$OUT/logs/record_$it.log"
     log "record_$it: done"
+    evidence "record_$it"
 
     # next-iteration dataset = seed + all recordings so far
     mkdir -p "$OUT/motions_iter_$next"
@@ -139,6 +170,7 @@ run_iter() {  # $1 = iter index, $2 = mdm_dir
         --motions_dir "$OUT/motions_iter_$next" \
         --out "$OUT/dataset_$next.yaml" \
         2>&1 | tee "$OUT/logs/create_dataset_$next.log"
+    evidence "dataset_$next"
 }
 
 log "=== ITERATION 1 (MDM: $MDM1_DIR) ==="
@@ -150,6 +182,7 @@ if [ ! -d "$OUT/mdm_2/checkpoints" ]; then
     # sweep; warm-started from MDM_1 (parc_0_setup_iter input_model_path)
     cat > "$OUT/mdm2.yaml" <<YAML
 batch_size: 512
+iters_per_epoch: 50
 epochs_per_checkpoint: 40
 epochs_per_output: 5
 YAML
@@ -159,6 +192,8 @@ YAML
         --init_from "$MDM1_DIR" \
         2>&1 | tee "$OUT/logs/train_mdm_2.log"
 fi
+evidence mdm_2
 run_iter 2 "$OUT/mdm_2"
 
+evidence loop_complete
 log "LOOP COMPLETE: $OUT/dataset_3.yaml"

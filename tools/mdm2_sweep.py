@@ -25,6 +25,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TEASER = "/root/reference/data/terrains/TEASER_TERRAIN.pkl"
+SECTION_HEADER = "## Training at dataset diversity (loop iteration 2)"
 
 
 def build_fixtures(styles):
@@ -39,11 +40,15 @@ def build_fixtures(styles):
             terrain_files=(TEASER,) if style == "file" else ())
         rng = np.random.default_rng(1000 + si)
         drawn = None
-        for _ in range(8):
+        for _ in range(32):
             drawn = kin_gen._draw_terrain_and_path(cfg, rng)
             if drawn is not None:
                 break
-        assert drawn is not None, f"no A*-feasible path for {style}"
+        if drawn is None:
+            # one infeasible style must not kill the whole evidence run
+            print(f"WARNING: no A*-feasible path for {style} in 32 draws; "
+                  "skipping style", file=sys.stderr)
+            continue
         terrain, _, nodes = drawn
         fixtures.append(ValidationFixture(style, terrain, nodes))
     return fixtures
@@ -51,7 +56,7 @@ def build_fixtures(styles):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--run_dir", default="/tmp/loop_r3")
+    p.add_argument("--run_dir", default="/tmp/loop_r4")
     p.add_argument("--mdm_subdir", default="mdm_2")
     p.add_argument("--dataset", default=None,
                    help="dataset yaml (default <run_dir>/dataset_2.yaml)")
@@ -96,7 +101,7 @@ def main():
     import numpy as np
     lines = [
         "",
-        "## Round 3: training at dataset diversity (loop iteration 2)",
+        SECTION_HEADER,
         "",
         "The two-iteration loop run (docs/loop_scale.md) continues the",
         "full-size MDM (warm-started from the iteration-1 model, the",
@@ -132,9 +137,19 @@ def main():
                 f"{s.get('mean_jerk_mean', float('nan')):.0f} | "
                 f"{s.get('contact_loss_mean', float('nan')):.3f} | "
                 f"{s.get('pen_loss_mean', float('nan')):.3f} |")
-    with open(args.out, "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"appended round-3 diversity sweep to {args.out}")
+    # replace an existing section in place (re-runs must not duplicate
+    # the committed doc); append only when the section is absent
+    new_section = "\n".join(lines) + "\n"
+    existing = ""
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            existing = f.read()
+    if SECTION_HEADER in existing:
+        head = existing.split(SECTION_HEADER)[0].rstrip("\n")
+        existing = head + "\n"
+    with open(args.out, "w") as f:
+        f.write(existing + new_section)
+    print(f"wrote diversity sweep section to {args.out}")
 
 
 if __name__ == "__main__":
