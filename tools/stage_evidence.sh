@@ -13,7 +13,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT=${OUT:-/tmp/loop_r4}
 STAGE=${1:?stage name}
-DOC=docs/loop_r4
+# smoke runs override these so they never pollute the committed evidence
+DOC=${EVIDENCE_DIR:-docs/loop_r4}
+SUMMARY=${SUMMARY_MD:-docs/loop_scale.md}
 mkdir -p "$DOC"
 
 # trimmed stage logs (drop the repeated axon platform warnings)
@@ -49,11 +51,15 @@ if [ ! -f "$DOC/STAGES.md" ]; then
 fi
 echo "| $STAGE | $(date -u +%FT%TZ) |" >> "$DOC/STAGES.md"
 
-python tools/loop_summary.py "$OUT" > docs/loop_scale.md || true
+python tools/loop_summary.py "$OUT" > "$SUMMARY" || true
 
-git add "$DOC" docs/loop_scale.md || true
+if [ "${NO_COMMIT:-0}" = 1 ]; then
+    echo "[stage_evidence] staged (no commit): $STAGE"
+    exit 0
+fi
+git add "$DOC" "$SUMMARY" || true
 # pathspec commit: never sweeps unrelated staged files into the evidence
 # commit (the heartbeat runs concurrently with interactive work)
-git commit -q -m "loop r4 evidence: $STAGE" -- "$DOC" docs/loop_scale.md \
+git commit -q -m "loop r4 evidence: $STAGE" -- "$DOC" "$SUMMARY" \
     || true
 echo "[stage_evidence] committed: $STAGE"
