@@ -158,6 +158,16 @@ def summarize_two_iter(out):
     row("record: clips saved", lambda d: d["rec"])
     row("next dataset size", lambda d: d["next_manifest"]["n"])
 
+    # kin-gen reference-scale timing (tools/kin_gen_refscale.py via
+    # tools/post_loop_evidence.sh) — folded in so regeneration of this
+    # summary never drops it
+    ref_md = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "loop_r4",
+        "kin_gen_refscale.md")
+    if os.path.exists(ref_md):
+        with open(ref_md) as f:
+            print("\n" + f.read().rstrip())
+
     for k in (1, 2):
         t = per_iter[k]["tracker"]
         if not t:
