@@ -18,7 +18,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def rl_ab(sim_params, label, iters, num_envs=4096, seed=0):
+TRACKING_ERROR_NAMES = [
+    "root_pos (m)", "root_rot (rad)", "body_pos rel (m)", "pose (rad)",
+    "dof_vel (rad/s)", "root_vel (m/s)", "root_ang_vel (rad/s)",
+]
+
+
+def rl_ab(sim_params, label, iters, num_envs=4096, seed=0, ref_only=False):
     import jax
     import numpy as np
     from parc_tpu.anim import motion_lib as ml
@@ -31,6 +37,9 @@ def rl_ab(sim_params, label, iters, num_envs=4096, seed=0):
 
     model = humanoid_spec().build()
     clips = fidelity.fidelity_clips()
+    if ref_only:
+        clips = {k: v for k, v in clips.items() if k.startswith("ref_")}
+        assert clips, "reference clips missing from /root/reference"
     lib = ml.build_motion_lib(model, list(clips.values()))
     env = DeepMimicEnv(model, sim_params, EnvConfig(num_envs=num_envs))
     agent = PPOAgent(env, PPOConfig())
@@ -49,6 +58,8 @@ def rl_ab(sim_params, label, iters, num_envs=4096, seed=0):
         "fail_frac": float(test["fail_frac"]),
         "ep_len": float(test["mean_ep_len"]),
         "fail_rates": np.asarray(state.env_state.fail_rates).round(3).tolist(),
+        "tracking_error": np.asarray(test["tracking_error"]).tolist(),
+        "clips": list(clips.keys()),
         "wall_s": round(wall, 1),
     }
 
@@ -56,6 +67,9 @@ def rl_ab(sim_params, label, iters, num_envs=4096, seed=0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=400)
+    p.add_argument("--anchor_iters", type=int, default=1500,
+                   help="convergence run on the reference clips only "
+                        "(0 disables)")
     p.add_argument("--skip_replay", action="store_true")
     p.add_argument("--out", default="docs/fidelity.md")
     args = p.parse_args()
@@ -141,6 +155,42 @@ def main():
     ]
     for r in rows:
         lines.append(f"- {r['label']}: {r['fail_rates']}")
+
+    if args.anchor_iters:
+        # 5%-parity proxy (VERDICT r3 item 6): tracker trained to
+        # convergence ONLY on the reference's own kinematic clips over
+        # real terrains, reward + tracking error vs the kinematic
+        # reference (the quantity BASELINE.json's north star scores)
+        print(f"-- anchor run: reference clips only "
+              f"({args.anchor_iters} iters) --")
+        anchor = rl_ab(engine.SimParams(), "ref_anchor", args.anchor_iters,
+                       ref_only=True)
+        print(anchor)
+        lines += [
+            "",
+            f"## Reference-data anchor ({args.anchor_iters} PPO iters "
+            "@4096 envs, reference clips only)",
+            "",
+            "Tracker trained to convergence on the reference's own",
+            "kinematic clips (" + ", ".join(anchor["clips"]) + ") over",
+            "their real terrains — the 5%-parity proxy: tracked reward and",
+            "per-component tracking error vs the kinematic reference",
+            "(BASELINE.json north star; reference scoring:",
+            "learning/dm_ppo_agent.py:162-219).",
+            "",
+            f"- test reward (per-step, normalized): "
+            f"**{anchor['test_reward']:.3f}**",
+            f"- fail fraction: {anchor['fail_frac']:.3f}",
+            f"- mean episode length: {anchor['ep_len']:.1f} s",
+            f"- per-motion fail rates {anchor['clips']}: "
+            f"{anchor['fail_rates']}",
+            "",
+            "| tracking error component | mean over eval steps |",
+            "|---|---|",
+        ]
+        for name, v in zip(TRACKING_ERROR_NAMES, anchor["tracking_error"]):
+            lines.append(f"| {name} | {v:.4f} |")
+
     lines += [
         "",
         "## Reading",
