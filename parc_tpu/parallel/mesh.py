@@ -237,7 +237,20 @@ def make_sharded_train_iter(agent, mesh: Mesh, lib, state):
                    in_specs=(lib_spec, state_spec),
                    out_specs=(state_spec, metrics_spec),
                    check_vma=False)
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    # Self-placing wrapper: inputs restored from a checkpoint (or freshly
+    # device_put without a sharding) arrive COMMITTED to a single device,
+    # and jit refuses to mix them with an N-device shard_map. device_put
+    # onto the in_spec shardings is a no-op for already-placed buffers and
+    # a one-time host->mesh copy otherwise, so every caller (tests, resume
+    # flows, train_tracker) can pass arrays from anywhere.
+    lib_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), lib_spec)
+    state_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), state_spec)
+
+    def train_iter(lib, st):
+        return jfn(jax.device_put(lib, lib_sh),
+                   jax.device_put(st, state_sh))
+    return train_iter
 
 
 def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
@@ -290,7 +303,22 @@ def make_sharded_rollout(env, net, a_mid, a_scale, mesh: Mesh,
         in_specs=(lib_spec, state_spec, P(), P()),
         out_specs=(state_spec, P()),
         check_vma=False)
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    # Same self-placement contract as make_sharded_train_iter: accept
+    # single-device-committed inputs (checkpoint restores) by moving them
+    # onto the mesh per the shard_map in_specs before dispatch.
+    lib_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), lib_spec)
+    state_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), state_spec)
+    rep_sh = NamedSharding(mesh, P())
+
+    def rollout(lib, es, params, obs_norm):
+        return jfn(jax.device_put(lib, lib_sh),
+                   jax.device_put(es, state_sh),
+                   jax.device_put(params,
+                                  jax.tree.map(lambda _: rep_sh, params)),
+                   jax.device_put(obs_norm,
+                                  jax.tree.map(lambda _: rep_sh, obs_norm)))
+    return rollout
 
 
 def check_param_sync(mesh: Mesh, params: Any, atol: float = 1e-6) -> float:

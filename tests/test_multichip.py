@@ -246,3 +246,69 @@ def test_parkour_trainer_multichip_path(parkour_setup, tmp_path):
     out = train_tracker.train(agent, bundle, cfg, state=state, max_iters=2)
     assert float(out.sample_count) == 2 * 2 * 16
     assert np.all(np.isfinite(np.asarray(jax.tree.leaves(out.params)[0])))
+
+
+def test_checkpoint_roundtrip_across_envs_and_shards(parkour_setup, tmp_path):
+    """A shard-major multichip parkour checkpoint restores into a
+    single-program env with a DIFFERENT num_envs and trains — and the
+    reverse direction too. persistent_state (learning/ppo.py:83-95)
+    excludes per-env transients, so checkpoints must be portable across
+    env counts and shard layouts (reference resume semantics:
+    learning/base_agent.py:127-163 state_dict + fail_rates)."""
+    from parc_tpu.envs.parkour import ParkourConfig, ParkourEnv
+    from parc_tpu.learning import ppo as ppo_lib
+    from parc_tpu.utils import checkpoint as ckpt_lib
+    model, env, bundle, agent, state = parkour_setup
+
+    # --- multichip (shard-major, 16 envs x 8 shards) -> checkpoint ------
+    mesh = mesh_lib.make_mesh(8, model_parallel=1)
+    sm_state = state.replace(
+        env_state=mesh_lib.shard_major_env_state(env, state.env_state, 8))
+    train = mesh_lib.make_sharded_train_iter(agent, mesh, bundle, sm_state)
+    bundle_d = jax.device_put(bundle)
+    sm_state, _ = train(bundle_d, sm_state)
+    ck_a = str(tmp_path / "from_multichip")
+    ckpt_lib.save(f"{ck_a}/checkpoints", 1,
+                  ppo_lib.persistent_state(sm_state))
+    saved_count = float(sm_state.sample_count)
+    saved_leaf = np.asarray(jax.tree.leaves(sm_state.params)[0])
+
+    # --- restore into a single-program env with a different num_envs ----
+    env8 = ParkourEnv(env.model, engine.SimParams(), EnvConfig(num_envs=8),
+                      ParkourConfig(mgdm_num=4, plan_frames=15,
+                                    ddim_stride=5), env.mdm,
+                      env.mgdm_terrain)
+    # the ParkourLib bundle (motion lib + MDM weights) carries no per-env
+    # state, so the 16-env bundle serves the 8-env program unchanged
+    bundle8 = bundle
+    agent8 = PPOAgent(env8, PPOConfig(
+        steps_per_iter=2, update_epochs=1, batch_size=1,
+        actor_net="fc_2layers_512units", critic_net="fc_2layers_512units"))
+    fresh8 = agent8.init(bundle8, jax.random.PRNGKey(7))
+    restored = ckpt_lib.restore(f"{ck_a}/checkpoints",
+                                ppo_lib.persistent_state(fresh8))
+    st8 = ppo_lib.merge_persistent(fresh8, restored)
+    # the restore really carried the trained params + counters over
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(st8.params)[0]), saved_leaf)
+    assert float(st8.sample_count) == saved_count
+    st8, m8 = jax.jit(lambda l, s: agent8.train_iter(l, s))(bundle8, st8)
+    assert np.isfinite(float(m8.mean_reward))
+    assert float(st8.sample_count) == saved_count + 2 * 8
+
+    # --- reverse: single-program checkpoint -> shard-major multichip ----
+    ck_b = str(tmp_path / "from_single")
+    ckpt_lib.save(f"{ck_b}/checkpoints", 1, ppo_lib.persistent_state(st8))
+    fresh16 = agent.init(bundle, jax.random.PRNGKey(9))
+    restored_b = ckpt_lib.restore(f"{ck_b}/checkpoints",
+                                  ppo_lib.persistent_state(fresh16))
+    st16 = ppo_lib.merge_persistent(fresh16, restored_b)
+    st16 = st16.replace(
+        env_state=mesh_lib.shard_major_env_state(env, st16.env_state, 8))
+    train_b = mesh_lib.make_sharded_train_iter(agent, mesh, bundle, st16)
+    st16, m16 = train_b(bundle_d, st16)
+    assert np.isfinite(float(m16.mean_reward))
+    assert float(st16.sample_count) == float(st8.sample_count) + 2 * 16
+    fr = np.asarray(st16.env_state.fail_rates)
+    assert fr.shape == np.asarray(state.env_state.fail_rates).shape
+    assert np.all(np.isfinite(fr))
