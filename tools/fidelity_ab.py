@@ -71,6 +71,9 @@ def main():
                    help="convergence run on the reference clips only "
                         "(0 disables)")
     p.add_argument("--skip_replay", action="store_true")
+    p.add_argument("--configs", default=None,
+                   help="comma-separated subset of the A/B grid (default "
+                        "all); lets a time-boxed run keep the anchor")
     p.add_argument("--out", default="docs/fidelity.md")
     args = p.parse_args()
 
@@ -131,6 +134,9 @@ def main():
         "stiffness_x0.5": engine.SimParams(contact_stiffness=4000.0),
         "stiffness_x2": engine.SimParams(contact_stiffness=16000.0),
     }
+    if args.configs:
+        keep = args.configs.split(",")
+        ab_configs = {k: v for k, v in ab_configs.items() if k in keep}
     rows = []
     for label, sp in ab_configs.items():
         print(f"-- training {label} ({args.iters} iters) --")
