@@ -11,14 +11,16 @@
 #     dataset_2's recorded clips already span boxes/stairs/paths/file
 #     from iteration 1, so tracker_2 still trains on all styles.
 #   - tracker_2: ITERS2 (default 1000) PPO iters @4096 envs.
-# Everything else (MDM_2 150 epochs warm-started on dataset_2, record,
-# dataset_3 manifest) is at loop_two_iter.sh scale.
+#   - MDM_2: 100 warm-started epochs (vs 150) — the warm-start loss
+#     curve on the grown dataset is the evidence; it plateaus early.
+# Everything else (record, dataset_3 manifest) is at
+# loop_two_iter.sh scale.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 export OUT=${OUT:-/tmp/loop_r4}
 ITERS2=${ITERS2:-1000}
-MDM_EPOCHS=${MDM_EPOCHS:-150}
+MDM_EPOCHS=${MDM_EPOCHS:-100}
 KG2_MIX=${KG2_MIX:-"boxes:4"}
 
 log() { echo "[iter2c $(date +%H:%M:%S)] $*"; }
