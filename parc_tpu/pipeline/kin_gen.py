@@ -253,9 +253,17 @@ def run_kin_gen(mdm: MDM, state: MDMState, num_motions: int, out_dir: str,
             paths.append(path)
             idx += 1
 
+    def report(n_attempts=None):
+        # keep-rate evidence line (per style): clips kept / slots asked
+        extra = (f", {n_attempts} terrain draws"
+                 if n_attempts is not None else "")
+        print(f"kin_gen[{cfg.terrain_style}]: kept {len(paths)} clips "
+              f"(incl. mirrors) from {num_motions} slots{extra}")
+
     if cfg.terrains_per_batch <= 1:
         for i in range(num_motions):
             save(gen_motion_and_terrain(mdm, state, cfg, seed + i))
+        report()
         return paths
 
     # batched mode: each pending motion slot keeps its own host rng
@@ -319,4 +327,5 @@ def run_kin_gen(mdm: MDM, state: MDMState, num_motions: int, out_dir: str,
                 pending.remove(i)
             elif attempts[i] >= cfg.max_retries:
                 pending.remove(i)
+    report(sum(attempts.values()))
     return paths

@@ -64,8 +64,11 @@ def train(mdm: MDM, lib: ml.MotionLib,
     lib = jax.device_put(lib)
 
     t_start = time.time()
+    # max_epochs is a TOTAL target: re-invoking a finished run is a
+    # no-op and a crashed run completes to the target instead of adding
+    # another full budget on top of the resume point (ADVICE r4)
     epochs = cfg.epochs if max_epochs is None else max_epochs
-    epochs = start_epoch + epochs
+    epochs = max(start_epoch, epochs)
     for epoch in range(start_epoch, epochs):
         if cfg.profile_epochs and epoch == cfg.profile_start:
             jax.profiler.start_trace(f"{cfg.output_dir}/profile")
@@ -90,6 +93,6 @@ def train(mdm: MDM, lib: ml.MotionLib,
 
     # final checkpoint so kin-gen always finds a model even when training
     # stopped between checkpoint intervals
-    if epochs % cfg.epochs_per_checkpoint != 0:
+    if epochs != start_epoch and epochs % cfg.epochs_per_checkpoint != 0:
         ckpt_lib.save(f"{cfg.output_dir}/checkpoints", epochs, state)
     return state

@@ -251,6 +251,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
           meta: Optional[dict] = None) -> AgentState:
     logger = Logger(output_file=f"{cfg.output_dir}/log.tsv",
                     use_wandb=cfg.use_wandb)
+    it0 = 0
     if state is None:
         state = agent.init(lib, jax.random.PRNGKey(seed))
         start_step = ckpt_lib.latest_step(f"{cfg.output_dir}/checkpoints")
@@ -258,6 +259,10 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
             restored = ckpt_lib.restore(f"{cfg.output_dir}/checkpoints",
                                         ppo_lib.persistent_state(state))
             state = ppo_lib.merge_persistent(state, restored)
+            # resume the iteration counter too: re-invoking a finished
+            # run with the same max_iters is then a no-op instead of a
+            # second full training budget (ADVICE r4)
+            it0 = start_step
             print(f"resumed from checkpoint step {start_step}")
 
     # NOTE: lib is a jit *argument* (device-resident, reused), never a
@@ -312,7 +317,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
         test_fn = make_test_fn(agent, cfg.test_steps, cfg.test_episodes)
         lib = jax.device_put(lib)
 
-    it = 0
+    it = it0
     t_start = time.time()
     timers = profiling.PhaseTimer()
     while float(state.sample_count) < cfg.max_samples:
@@ -390,7 +395,7 @@ def train(agent: PPOAgent, lib: ml.MotionLib,
 
     # final checkpoint so downstream stages (record) always find a model,
     # even when training stopped between checkpoint intervals
-    if it % cfg.iters_per_checkpoint != 0:
+    if it != it0 and it % cfg.iters_per_checkpoint != 0:
         ckpt_lib.save(f"{cfg.output_dir}/checkpoints", it,
                           ppo_lib.persistent_state(state))
     if timers.summary():

@@ -21,6 +21,7 @@ Reference parity map:
 * motion editing GUI (motion_editing_gui.py)             -> flip/resample/slice
 * contact editing GUI (contact_editing_gui.py)           -> recompute_contacts
 * IG-in-the-loop (isaac_gym_gui.py, global_header.py:464-657) -> track
+  (full rollout) + sim_start/sim_step/sim_stop (live stepping session)
 * io GUI (io_gui.py)                                     -> load/save
 """
 
@@ -507,12 +508,102 @@ class Studio:
                        f"({'trained policy' if tracker_dir else 'untrained'})")
         return self.state()
 
+    # -- live sim stepping -------------------------------------------------
+    # MOTION_FORGE runs Isaac Gym *inside* the GUI and steps it live
+    # (reference: MOTION_FORGE/global_header.py:464-657
+    # start_isaac_gym/step with live visuals).  Here a persistent sim
+    # session lives server-side; each sim_step advances a few control
+    # steps and grows the overlay, so the browser shows physics running
+    # live instead of waiting for a full track() rollout.
+    def sim_start(self, tracker_dir: Optional[str] = None) -> dict:
+        import jax
+        import jax.numpy as jnp
+        from parc_tpu.anim import motion_lib as ml
+        from parc_tpu.envs.base import EnvConfig
+        from parc_tpu.envs.deepmimic import DeepMimicEnv
+        from parc_tpu.learning import normalizer as norm_lib
+        from parc_tpu.learning import ppo as ppo_lib
+        from parc_tpu.learning.ppo import PPOAgent, PPOConfig
+        from parc_tpu.physics import engine
+        from parc_tpu.utils import rotation as rot
+
+        m = self._require_motion()
+        lib = ml.build_motion_lib(self.model, [m])
+        env = DeepMimicEnv(self.model, engine.SimParams(),
+                           EnvConfig(num_envs=1, rand_reset=False))
+        agent = PPOAgent(env, PPOConfig())
+        state = agent.init(lib, jax.random.PRNGKey(0))
+        tracker_dir = tracker_dir or self.tracker_dir
+        if tracker_dir:
+            from parc_tpu.utils import checkpoint as ckpt_lib
+            restored = ckpt_lib.restore(
+                os.path.join(tracker_dir, "checkpoints"),
+                ppo_lib.persistent_state(state))
+            state = ppo_lib.merge_persistent(state, restored)
+        model = self.model
+
+        def chunk(lib_, state_, es):
+            def step_fn(es, _):
+                frame34 = jnp.concatenate([
+                    es.sim.root_pos,
+                    rot.quat_to_exp_map(es.sim.root_rot),
+                    cm.rot_to_dof(model, es.sim.joint_rot)], axis=-1)
+                contacts = (jnp.linalg.norm(es.sim.contact_forces,
+                                            axis=-1)
+                            > 1e-3).astype(jnp.float32)
+                norm_obs = norm_lib.normalize(state_.obs_norm, es.obs)
+                mean, _ = agent.net.apply(state_.params, norm_obs,
+                                          method="actor")
+                action = agent.a_mid + agent.a_scale * mean
+                es = env.step(lib_, es, action)
+                return es, (frame34, contacts)
+            return jax.lax.scan(step_fn, es, None, length=8)
+
+        rng = jax.random.PRNGKey(0)
+        es = jax.jit(lambda l, r: env.reset(l, r, num_envs=1))(lib, rng)
+        self._sim = dict(lib=jax.device_put(lib), state=state, es=es,
+                         chunk=jax.jit(chunk), frames=[], contacts=[],
+                         fps=1.0 / env.cfg.control_dt, trained=bool(
+                             tracker_dir))
+        self.status = ("live sim started "
+                       f"({'trained policy' if tracker_dir else 'untrained'})")
+        return self.state()
+
+    def sim_step(self, steps: int = 8) -> dict:
+        """Advance the live sim by ~``steps`` control steps (rounded to
+        whole 8-step chunks so the device program compiles once)."""
+        import jax
+        sim = getattr(self, "_sim", None)
+        if sim is None:
+            raise StudioError("no live sim session — call sim_start first")
+        for _ in range(max(1, -(-int(steps) // 8))):
+            sim["es"], (f, c) = sim["chunk"](sim["lib"], sim["state"],
+                                             sim["es"])
+            sim["frames"].append(np.asarray(f[:, 0]))
+            sim["contacts"].append(np.asarray(c[:, 0]))
+        frames = np.concatenate(sim["frames"], axis=0)
+        contacts = np.concatenate(sim["contacts"], axis=0)
+        m = self._require_motion()
+        self.overlay = md.MotionData(
+            frames=frames.astype(np.float32), fps=float(sim["fps"]),
+            contacts=contacts.astype(np.float32), terrain=m.terrain)
+        self.overlay_label = "live sim"
+        self.status = f"live sim: {frames.shape[0]} frames"
+        return self.state()
+
+    def sim_stop(self) -> dict:
+        if getattr(self, "_sim", None) is None:
+            raise StudioError("no live sim session")
+        self._sim = None
+        self.status = "live sim stopped (overlay kept)"
+        return self.state()
+
     # -- dispatch -----------------------------------------------------------
     OPS = ("state", "load", "save", "procgen", "edit_cells", "terrain_filter",
            "snap_discrete",
            "astar", "mdm_gen", "optimize", "accept_overlay", "flip",
            "resample", "slice", "stitch", "recompute_contacts", "set_contact",
-           "track")
+           "track", "sim_start", "sim_step", "sim_stop")
 
     def handle(self, op: str, payload: dict) -> dict:
         if op not in self.OPS:

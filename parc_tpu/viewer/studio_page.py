@@ -107,6 +107,9 @@ PAGE = r"""<!DOCTYPE html>
   <button onclick="api('track', v('trkdir')?{tracker_dir:v('trkdir')}:{})">
    track clip</button>
   <button onclick="api('accept_overlay',{})">accept</button></div>
+ <div class="row">
+  <button id="live" onclick="toggleLive()">live sim</button>
+  <span id="livest"></span></div>
 </div>
 <script>
 let DATA = {clips:[],terrain:null,path:null,parents:[],fps:30,
@@ -150,6 +153,28 @@ function applyState(j){
 }
 function maxT(){ return DATA.clips.length
   ? Math.max(...DATA.clips.map(c=>c.body_pos.length)) : 1; }
+// live physics stepping (MOTION_FORGE IG-in-the-loop): sim_start once,
+// then sim_step in a loop while enabled — the overlay grows as the
+// simulation runs and playback follows the newest frame
+let live = false, liveBusy = false;
+async function toggleLive(){
+  live = !live;
+  document.getElementById('live').classList.toggle('on', live);
+  if (live) {
+    await api('sim_start', v('trkdir') ? {tracker_dir: v('trkdir')} : {});
+    liveLoop();
+  } else { api('sim_stop', {}); }
+}
+async function liveLoop(){
+  while (live) {
+    if (!liveBusy) {
+      liveBusy = true;
+      try { await api('sim_step', {steps: 8}); frame = maxT() - 1; }
+      finally { liveBusy = false; }
+    }
+    await new Promise(r => setTimeout(r, 120));
+  }
+}
 function runAstar(){
   if (!pickStart || !pickEnd) { setStatus('pick start and end first', true);
     return; }

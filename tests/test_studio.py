@@ -217,3 +217,55 @@ def test_terrain_filter_ops(studio):
     assert np.isfinite(hf).all()
     with pytest.raises(StudioError):
         studio.handle("terrain_filter", {"kind": "nope"})
+
+
+def test_live_sim_session(model):
+    # MOTION_FORGE IG-in-the-loop parity: sim_start opens a persistent
+    # physics session, each sim_step grows the live overlay, sim_stop
+    # ends the session but keeps the overlay for accept/compare.
+    st = Studio(model, standing_clip())
+    with pytest.raises(StudioError):
+        st.sim_step()                       # no session yet
+    s = st.handle("sim_start", {})
+    assert "live sim started" in s["status"]
+    s = st.handle("sim_step", {"steps": 8})
+    assert st.overlay is not None and st.overlay_label == "live sim"
+    n1 = st.overlay.frames.shape[0]
+    assert n1 >= 8
+    s = st.handle("sim_step", {"steps": 8})
+    n2 = st.overlay.frames.shape[0]
+    assert n2 > n1                          # the overlay grows live
+    assert len(s["clips"]) == 2             # motion + live overlay
+    assert st.overlay.contacts.shape == (n2, model.num_bodies)
+    s = st.handle("sim_stop", {})
+    assert st.overlay is not None           # overlay survives the stop
+    with pytest.raises(StudioError):
+        st.sim_stop()
+
+
+def test_live_viewport_payload_over_http(model):
+    # The browser page IS the live 3D viewport: it must ship the
+    # playback/render loop, and /api/state must carry the animated
+    # skeleton (per-frame body positions) + terrain it renders.
+    st = Studio(model, walking_clip(seed=2))
+    server = make_server(st, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        import http.client
+        host, port = server.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/")
+        page = conn.getresponse().read().decode()
+        for marker in ("render()", "body_pos", "setInterval", "proj(",
+                       "toggleLive"):
+            assert marker in page
+        conn.request("GET", "/api/state")
+        state = json.loads(conn.getresponse().read())
+        bp = np.asarray(state["clips"][0]["body_pos"])
+        assert bp.ndim == 3 and bp.shape[0] > 1   # T frames of NB x 3
+        assert state["terrain"] is not None and state["fps"] > 0
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()

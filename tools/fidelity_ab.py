@@ -24,7 +24,8 @@ TRACKING_ERROR_NAMES = [
 ]
 
 
-def rl_ab(sim_params, label, iters, num_envs=4096, seed=0, ref_only=False):
+def rl_ab(sim_params, label, iters, num_envs=4096, seed=0, ref_only=False,
+          ckpt_every=10**9):
     import jax
     import numpy as np
     from parc_tpu.anim import motion_lib as ml
@@ -46,7 +47,8 @@ def rl_ab(sim_params, label, iters, num_envs=4096, seed=0, ref_only=False):
     out_dir = f"/tmp/fidelity_ab/{label}"
     os.makedirs(out_dir, exist_ok=True)
     cfg = train_tracker.TrainerConfig(
-        output_dir=out_dir, iters_per_output=100, iters_per_checkpoint=10**9)
+        output_dir=out_dir, iters_per_output=100,
+        iters_per_checkpoint=ckpt_every)
     t0 = time.time()
     state = train_tracker.train(agent, lib, cfg, seed=seed, max_iters=iters)
     wall = time.time() - t0
@@ -106,6 +108,18 @@ def main():
         "",
     ]
 
+    import json
+
+    def flush():
+        # incremental write: a crash mid-run keeps every finished section
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def record_row(row):
+        with open(args.out + ".rows.jsonl", "a") as f:
+            f.write(json.dumps(row) + "\n")
+
     if not args.skip_replay:
         print("== PD replay sweeps ==")
         results = fidelity.run_sweeps()
@@ -124,9 +138,26 @@ def main():
         for cfg_name, rs in results.items():
             print(cfg_name, [(r.clip, round(r.mean_reward, 3),
                               round(r.survival, 2)) for r in rs])
+        flush()
+
+    from parc_tpu.physics import engine
+
+    anchor = None
+    if args.anchor_iters:
+        # 5%-parity proxy (VERDICT r4 item 1): tracker trained to
+        # convergence ONLY on the reference's own kinematic clips over
+        # real terrains, reward + tracking error vs the kinematic
+        # reference (the quantity BASELINE.json's north star scores).
+        # Runs BEFORE the A/B grid: it is the headline number and must
+        # land even if a time-boxed run is cut short.
+        print(f"-- anchor run: reference clips only "
+              f"({args.anchor_iters} iters) --")
+        anchor = rl_ab(engine.SimParams(), "ref_anchor", args.anchor_iters,
+                       ref_only=True, ckpt_every=500)
+        print(anchor)
+        record_row(anchor)
 
     print("== RL A/B runs ==")
-    from parc_tpu.physics import engine
     ab_configs = {
         # default = hard SPD-implicit boundary-spring limits
         "default": engine.SimParams(),
@@ -136,12 +167,17 @@ def main():
     }
     if args.configs:
         keep = args.configs.split(",")
+        unknown = [k for k in keep if k not in ab_configs]
+        if unknown:
+            sys.exit(f"unknown --configs {unknown}; valid: "
+                     f"{sorted(ab_configs)}")
         ab_configs = {k: v for k, v in ab_configs.items() if k in keep}
     rows = []
     for label, sp in ab_configs.items():
         print(f"-- training {label} ({args.iters} iters) --")
         rows.append(rl_ab(sp, label, args.iters))
         print(rows[-1])
+        record_row(rows[-1])
 
     lines += [
         f"## RL tracker A/B ({args.iters} PPO iters @4096 envs, one v5e chip)",
@@ -161,17 +197,9 @@ def main():
     ]
     for r in rows:
         lines.append(f"- {r['label']}: {r['fail_rates']}")
+    flush()
 
-    if args.anchor_iters:
-        # 5%-parity proxy (VERDICT r3 item 6): tracker trained to
-        # convergence ONLY on the reference's own kinematic clips over
-        # real terrains, reward + tracking error vs the kinematic
-        # reference (the quantity BASELINE.json's north star scores)
-        print(f"-- anchor run: reference clips only "
-              f"({args.anchor_iters} iters) --")
-        anchor = rl_ab(engine.SimParams(), "ref_anchor", args.anchor_iters,
-                       ref_only=True)
-        print(anchor)
+    if anchor is not None:
         lines += [
             "",
             f"## Reference-data anchor ({args.anchor_iters} PPO iters "
@@ -211,9 +239,7 @@ def main():
         "  trackability degrades.",
     ]
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+    flush()
     print(f"wrote {args.out}")
 
 

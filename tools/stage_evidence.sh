@@ -60,6 +60,6 @@ fi
 git add "$DOC" "$SUMMARY" || true
 # pathspec commit: never sweeps unrelated staged files into the evidence
 # commit (the heartbeat runs concurrently with interactive work)
-git commit -q -m "loop r4 evidence: $STAGE" -- "$DOC" "$SUMMARY" \
+git commit -q -m "loop evidence: $STAGE" -- "$DOC" "$SUMMARY" \
     || true
 echo "[stage_evidence] committed: $STAGE"

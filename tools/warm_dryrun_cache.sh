@@ -33,4 +33,7 @@ t = time.time()-t0
 print(f'warm pass 2 (cached): {t:.1f}s')
 assert t < 420, f'cache not effective: {t:.0f}s'
 "
+# record the traced-code tree hash so tests/test_dryrun_cache.py can
+# fail loudly when the committed cache goes stale
+python tools/traced_hash.py > .dryrun_cache/TREE_HASH
 echo "OK — commit .dryrun_cache/"
