@@ -30,8 +30,16 @@ class _nullcontext:
 
 def main():
     import jax
-    try:  # persistent compile cache (helps repeated driver runs)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    try:  # persistent compile cache. The driver runs bench on a fresh
+        # /tmp (wiped between rounds), so a committed repo-local cache
+        # (.bench_cache, warmed by tools/warm_bench_cache.sh) also feeds
+        # the lookup: host-CPU setup compiles at 4096 envs were ~380s of
+        # every driver run (BENCH_r04 "setup: 380.6s").
+        here = os.path.dirname(os.path.abspath(__file__))
+        cache = os.path.join(here, ".bench_cache")
+        if not os.path.isdir(cache):
+            cache = "/tmp/jax_cache"
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
